@@ -1,0 +1,261 @@
+"""Built-in test systems as plain numpy data (host side).
+
+The flagship case is the IEEE RTS-24 (1979 Reliability Test System, single
+area): 24 buses, 33 generating units (incl. one synchronous condenser at
+bus 14), 38 branches, 2850 MW system peak.
+
+Network data follows the published IEEE RTS-79 tables (the reference loads
+the equivalent MATPOWER ``case24_ieee_rts``; see reference
+``Montecarlo_nsq_single/nsqMain.m:42``). Reliability parameters replicate the
+reference data file ``Montecarlo_*/case24_failrate.m:23-78`` exactly (note:
+that file deviates from the RTS-79 paper in a couple of branch repair
+durations; we replicate the file, since it is what the baseline numbers were
+produced with). The RTS-79 hierarchical load model replicates
+``Montecarlo_seq/case24_loadprofile.m:18-95``.
+
+Everything here is plain ``numpy`` — the JAX pytree view with derived
+matrices is built by :mod:`..core.system`.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class CaseData:
+    """Raw case description (host-side, numpy).
+
+    Component ordering convention (identical to the reference): the
+    ``n_gen + n_branch`` component vector is generators first (in the order
+    below) then branches. For RTS-24 this gives 71 components with the
+    synchronous condenser at component index 14 (0-based; index 15 in the
+    reference's 1-based MATLAB).
+    """
+
+    name: str
+    base_mva: float
+    # Buses -----------------------------------------------------------------
+    bus_pd: np.ndarray          # [nb] peak active load, MW
+    bus_qd: np.ndarray          # [nb] peak reactive load, MVAr
+    # Generators ------------------------------------------------------------
+    gen_bus: np.ndarray         # [ng] 0-based bus index
+    gen_pmax: np.ndarray        # [ng] MW
+    gen_pmin: np.ndarray        # [ng] MW
+    gen_mttf: np.ndarray        # [ng] hours
+    gen_mttr: np.ndarray        # [ng] hours
+    gen_maint_weeks: np.ndarray  # [ng] scheduled maintenance weeks/yr
+    # Branches ----------------------------------------------------------------
+    br_from: np.ndarray         # [nl] 0-based bus index
+    br_to: np.ndarray           # [nl] 0-based bus index
+    br_x: np.ndarray            # [nl] reactance, p.u.
+    br_rate: np.ndarray         # [nl] continuous rating, MW (MVA)
+    br_lambda: np.ndarray       # [nl] permanent outage rate, occ/yr
+    br_dur: np.ndarray          # [nl] outage duration, hours
+
+    @property
+    def n_bus(self) -> int:
+        return int(self.bus_pd.shape[0])
+
+    @property
+    def n_gen(self) -> int:
+        return int(self.gen_bus.shape[0])
+
+    @property
+    def n_branch(self) -> int:
+        return int(self.br_from.shape[0])
+
+    @property
+    def n_comp(self) -> int:
+        return self.n_gen + self.n_branch
+
+    @property
+    def total_load(self) -> float:
+        return float(self.bus_pd.sum())
+
+    @property
+    def sync_cond_mask(self) -> np.ndarray:
+        """Boolean mask of zero-capacity units (synchronous condensers)."""
+        return self.gen_pmax <= 0.0
+
+
+def _f(x) -> np.ndarray:
+    return np.asarray(x, dtype=np.float64)
+
+
+def _i(x) -> np.ndarray:
+    return np.asarray(x, dtype=np.int32)
+
+
+def rts24() -> CaseData:
+    """IEEE RTS-24 single-area system with reference reliability data."""
+    # Bus peak loads (RTS-79 Table 4 / case24_loadprofile.m:842-860). Buses
+    # without entries carry zero load.
+    nb = 24
+    bus_pd = np.zeros(nb)
+    bus_qd = np.zeros(nb)
+    load_rows = [
+        # bus (1-based), Pd, Qd
+        (1, 108, 22), (2, 97, 20), (3, 180, 37), (4, 74, 15), (5, 71, 14),
+        (6, 136, 28), (7, 125, 25), (8, 171, 35), (9, 175, 36), (10, 195, 40),
+        (13, 265, 54), (14, 194, 39), (15, 317, 64), (16, 100, 20),
+        (18, 333, 68), (19, 181, 37), (20, 128, 26),
+    ]
+    for b, p, q in load_rows:
+        bus_pd[b - 1] = p
+        bus_qd[b - 1] = q
+
+    # Generating units, in the same order as the reference component vector
+    # (MATPOWER case24_ieee_rts order; reliability rows from
+    # case24_failrate.m:23-78).   (bus, Pmax, Pmin, MTTF, MTTR, maint_weeks)
+    gen_rows = [
+        (1, 20, 4.0, 450, 50, 2),       # U20
+        (1, 20, 4.0, 450, 50, 2),
+        (1, 76, 15.2, 1960, 40, 3),     # U76
+        (1, 76, 15.2, 1960, 40, 3),
+        (2, 20, 4.0, 450, 50, 2),
+        (2, 20, 4.0, 450, 50, 2),
+        (2, 76, 15.2, 1960, 40, 3),
+        (2, 76, 15.2, 1960, 40, 3),
+        (7, 100, 25.0, 1200, 50, 3),    # U100
+        (7, 100, 25.0, 1200, 50, 3),
+        (7, 100, 25.0, 1200, 50, 3),
+        (13, 197, 69.0, 950, 50, 4),    # U197
+        (13, 197, 69.0, 950, 50, 4),
+        (13, 197, 69.0, 950, 50, 4),
+        (14, 0, 0.0, 10000, 0.1, 0.1),  # synchronous condenser (component 15)
+        (15, 12, 2.4, 2940, 60, 2),     # U12
+        (15, 12, 2.4, 2940, 60, 2),
+        (15, 12, 2.4, 2940, 60, 2),
+        (15, 12, 2.4, 2940, 60, 2),
+        (15, 12, 2.4, 2940, 60, 2),
+        (15, 155, 54.25, 960, 40, 4),   # U155
+        (16, 155, 54.25, 960, 40, 4),
+        (18, 400, 100.0, 1100, 150, 6),  # U400
+        (21, 400, 100.0, 1100, 150, 6),
+        (22, 50, 10.0, 1980, 20, 2),    # U50 hydro
+        (22, 50, 10.0, 1980, 20, 2),
+        (22, 50, 10.0, 1980, 20, 2),
+        (22, 50, 10.0, 1980, 20, 2),
+        (22, 50, 10.0, 1980, 20, 2),
+        (22, 50, 10.0, 1980, 20, 2),
+        (23, 155, 54.25, 960, 40, 4),
+        (23, 155, 54.25, 960, 40, 4),
+        (23, 350, 140.0, 1150, 100, 5),  # U350
+    ]
+    gen_bus = _i([r[0] - 1 for r in gen_rows])
+    gen_pmax = _f([r[1] for r in gen_rows])
+    gen_pmin = _f([r[2] for r in gen_rows])
+    gen_mttf = _f([r[3] for r in gen_rows])
+    gen_mttr = _f([r[4] for r in gen_rows])
+    gen_weeks = _f([r[5] for r in gen_rows])
+
+    # Branches (RTS-79 Table 12 / MATPOWER case24_ieee_rts):
+    # (from, to, x, rateA).  Reliability columns (lambda occ/yr, duration h)
+    # appended from case24_failrate.m:62-78 in the same order.
+    br_rows = [
+        (1, 2, 0.0139, 175), (1, 3, 0.2112, 175), (1, 5, 0.0845, 175),
+        (2, 4, 0.1267, 175), (2, 6, 0.1920, 175), (3, 9, 0.1190, 175),
+        (3, 24, 0.0839, 400), (4, 9, 0.1037, 175), (5, 10, 0.0883, 175),
+        (6, 10, 0.0605, 175), (7, 8, 0.0614, 175), (8, 9, 0.1651, 175),
+        (8, 10, 0.1651, 175), (9, 11, 0.0839, 400), (9, 12, 0.0839, 400),
+        (10, 11, 0.0839, 400), (10, 12, 0.0839, 400), (11, 13, 0.0476, 500),
+        (11, 14, 0.0418, 500), (12, 13, 0.0476, 500), (12, 23, 0.0966, 500),
+        (13, 23, 0.0865, 500), (14, 16, 0.0389, 500), (15, 16, 0.0173, 500),
+        (15, 21, 0.0490, 500), (15, 21, 0.0490, 500), (15, 24, 0.0519, 500),
+        (16, 17, 0.0259, 500), (16, 19, 0.0231, 500), (17, 18, 0.0144, 500),
+        (17, 22, 0.1053, 500), (18, 21, 0.0259, 500), (18, 21, 0.0259, 500),
+        (19, 20, 0.0396, 500), (19, 20, 0.0396, 500), (20, 23, 0.0216, 500),
+        (20, 23, 0.0216, 500), (21, 22, 0.0678, 500),
+    ]
+    br_lambda = _f([
+        0.24, 0.51, 0.33, 0.39, 0.48, 0.38, 0.02, 0.36, 0.34, 0.33, 0.30,
+        0.44, 0.44, 0.02, 0.02, 0.02, 0.02, 0.40, 0.39, 0.40, 0.52, 0.49,
+        0.38, 0.33, 0.41, 0.41, 0.41, 0.35, 0.34, 0.32, 0.54, 0.35, 0.35,
+        0.38, 0.38, 0.34, 0.34, 0.45,
+    ])
+    br_dur = _f([
+        16, 10, 10, 10, 10, 768, 10, 10, 35, 10, 10, 10,
+        10, 768, 768, 768, 768, 11, 11, 11, 11, 11, 11, 11,
+        11, 11, 11, 11, 11, 11, 11, 11, 11, 11, 11, 11, 11, 11,
+    ])
+
+    return CaseData(
+        name="rts24",
+        base_mva=100.0,
+        bus_pd=bus_pd,
+        bus_qd=bus_qd,
+        gen_bus=gen_bus,
+        gen_pmax=gen_pmax,
+        gen_pmin=gen_pmin,
+        gen_mttf=gen_mttf,
+        gen_mttr=gen_mttr,
+        gen_maint_weeks=gen_weeks,
+        br_from=_i([r[0] - 1 for r in br_rows]),
+        br_to=_i([r[1] - 1 for r in br_rows]),
+        br_x=_f([r[2] for r in br_rows]),
+        br_rate=_f([r[3] for r in br_rows]),
+        br_lambda=br_lambda,
+        br_dur=br_dur,
+    )
+
+
+def replicate_case(case: CaseData, n_areas: int, tie_rate: float = 500.0,
+                   tie_x: float = 0.05) -> CaseData:
+    """Scale a case up by tiling it into ``n_areas`` interconnected areas.
+
+    Follows the IEEE RTS-96 construction principle (identical areas joined by
+    a small set of inter-area ties). Each consecutive area pair is joined by
+    two tie lines (bus 7 of area i to bus 3 of area i+1, and bus 23 of area i
+    to bus 17 of area i+1), giving a connected multi-area system suitable for
+    multi-chip scale-up studies.
+    """
+    nb = case.n_bus
+    reps = range(n_areas)
+
+    def tile_f(a):
+        return np.concatenate([a for _ in reps])
+
+    bus_pd = tile_f(case.bus_pd)
+    bus_qd = tile_f(case.bus_qd)
+    gen_bus = np.concatenate([case.gen_bus + k * nb for k in reps]).astype(np.int32)
+    br_from = [case.br_from + k * nb for k in reps]
+    br_to = [case.br_to + k * nb for k in reps]
+    br_x = [case.br_x for _ in reps]
+    br_rate = [case.br_rate for _ in reps]
+    br_lambda = [case.br_lambda for _ in reps]
+    br_dur = [case.br_dur for _ in reps]
+    # Inter-area ties (ring topology when n_areas > 2).
+    pairs = [(k, (k + 1) % n_areas) for k in range(n_areas if n_areas > 2 else 1)]
+    for a, b in pairs:
+        br_from.append(_i([a * nb + 6, a * nb + 22]))
+        br_to.append(_i([b * nb + 2, b * nb + 16]))
+        br_x.append(_f([tie_x, tie_x]))
+        br_rate.append(_f([tie_rate, tie_rate]))
+        br_lambda.append(_f([0.4, 0.4]))
+        br_dur.append(_f([11.0, 11.0]))
+
+    return CaseData(
+        name=f"{case.name}x{n_areas}",
+        base_mva=case.base_mva,
+        bus_pd=bus_pd,
+        bus_qd=bus_qd,
+        gen_bus=gen_bus,
+        gen_pmax=tile_f(case.gen_pmax),
+        gen_pmin=tile_f(case.gen_pmin),
+        gen_mttf=tile_f(case.gen_mttf),
+        gen_mttr=tile_f(case.gen_mttr),
+        gen_maint_weeks=tile_f(case.gen_maint_weeks),
+        br_from=np.concatenate(br_from).astype(np.int32),
+        br_to=np.concatenate(br_to).astype(np.int32),
+        br_x=np.concatenate(br_x),
+        br_rate=np.concatenate(br_rate),
+        br_lambda=np.concatenate(br_lambda),
+        br_dur=np.concatenate(br_dur),
+    )
+
+
+def rts96() -> CaseData:
+    """Three-area RTS-96-style system (73-bus scale; tiled RTS-24 areas)."""
+    return replicate_case(rts24(), 3)

@@ -1,0 +1,170 @@
+"""Analytical capacity-outage probability table (COPT) engines.
+
+Recursive unit-addition convolution on a fixed MW grid, as a ``lax.scan``
+over units where each step is a shift-and-add (the reference's per-state
+``findfirst``/index lookups become static gathers — XLA-friendly, exact).
+
+Replicates:
+* probability convolution with capacity-rounding interpolation
+  (``generating_adequacy_assessment.jl:30-107``,
+  ``PowerSystemAdequacy.jl:67-111``,
+  ``generating_adequacy_comprehensive.jl:34-70``);
+* the frequency-extended recursion on cumulative tables
+  F_new(X) = p F(X) + q F(X-C) + lambda p [P(X-C) - P(X)]
+  (``generating_adequacy_frequency.jl:110-148``);
+* LOLE/EUE evaluation against a load curve
+  (``generating_adequacy_assessment.jl:113-146``) and LOLE/LOLF/LOLD risk
+  from cumulative P/F tables (``generating_adequacy_frequency.jl:155-186``);
+* the 7-point discretized-normal load-forecast-uncertainty mixture
+  (``generating_adequacy_comprehensive.jl:76-80``).
+
+Grids are static: ``n_points`` must cover total capacity / step + 1.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# 7-step discretized normal: (sigma multiple, probability)
+# (generating_adequacy_comprehensive.jl:76-80)
+LFU_POINTS = np.array([-3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0])
+LFU_PROBS = np.array([0.006, 0.061, 0.242, 0.382, 0.242, 0.061, 0.006])
+
+
+def grid_points_for(total_capacity: float, step: float) -> int:
+    return int(np.ceil(total_capacity / step)) + 1
+
+
+def _shift(p: jax.Array, k: jax.Array, fill: float = 0.0) -> jax.Array:
+    """p shifted right by k grid slots: out[i] = p[i-k] (fill below 0)."""
+    idx = jnp.arange(p.shape[0]) - k
+    return jnp.where(idx >= 0, p[jnp.clip(idx, 0)], fill)
+
+
+@partial(jax.jit, static_argnames=("step", "n_points"))
+def build_copt(capacities: jax.Array, q: jax.Array, step: float,
+               n_points: int) -> jax.Array:
+    """Exact-probability COPT: returns P[Outage = i*step] for i < n_points.
+
+    Non-grid-multiple capacities are split between the two adjacent grid
+    slots with weights (1-alpha, alpha) — the reference's rounding
+    interpolation (generating_adequacy_assessment.jl:91-104).
+    """
+    probs0 = jnp.zeros((n_points,), capacities.dtype).at[0].set(1.0)
+
+    def add_unit(probs, unit):
+        cap, qq = unit
+        p = 1.0 - qq
+        k_low = jnp.floor(cap / step).astype(jnp.int32)
+        alpha = cap / step - k_low.astype(cap.dtype)
+        new = (p * probs
+               + qq * (1.0 - alpha) * _shift(probs, k_low)
+               + qq * alpha * _shift(probs, k_low + 1))
+        return new, None
+
+    probs, _ = jax.lax.scan(add_unit, probs0, (capacities, q))
+    return probs
+
+
+@partial(jax.jit, static_argnames=("step", "n_points"))
+def build_copt_fd(capacities: jax.Array, q: jax.Array, lam_per_yr: jax.Array,
+                  step: float, n_points: int):
+    """Frequency & duration COPT on cumulative tables.
+
+    Returns (cum_prob, cum_freq): P[Outage >= i*step] and the cumulative
+    frequency F[Outage >= i*step] in occurrences/year. Boundary condition
+    P(>= negative) = 1, F(>= negative) = 0
+    (generating_adequacy_frequency.jl:93-99). Capacities are convolved at
+    the nearest grid multiple (the F&D reference uses exact-multiple grids).
+    """
+    cum_p0 = jnp.zeros((n_points,), capacities.dtype).at[0].set(1.0)
+    # P[Outage >= 0] = 1 everywhere? No: empty system has outage exactly 0,
+    # so P[>= 0] = 1 and P[>= x] = 0 for x > 0.
+    cum_f0 = jnp.zeros((n_points,), capacities.dtype)
+
+    def add_unit(carry, unit):
+        cum_p, cum_f = carry
+        cap, qq, lam = unit
+        p = 1.0 - qq
+        k = jnp.round(cap / step).astype(jnp.int32)
+        p_shift = _shift(cum_p, k, fill=1.0)
+        f_shift = _shift(cum_f, k, fill=0.0)
+        new_p = p * cum_p + qq * p_shift
+        new_f = p * cum_f + qq * f_shift + lam * p * (p_shift - cum_p)
+        return (new_p, new_f), None
+
+    (cum_p, cum_f), _ = jax.lax.scan(
+        add_unit, (cum_p0, cum_f0), (capacities, q, lam_per_yr))
+    return cum_p, cum_f
+
+
+class COPTSummary(NamedTuple):
+    suffix_prob: jax.Array   # [n+1] S0[i] = P[Outage >= i*step]
+    suffix_xprob: jax.Array  # [n+1] S1[i] = E[Outage; Outage >= i*step]
+
+
+def summarize(probs: jax.Array, step: float) -> COPTSummary:
+    x = jnp.arange(probs.shape[0], dtype=probs.dtype) * step
+    zero = jnp.zeros((1,), probs.dtype)
+    s0 = jnp.concatenate([jnp.cumsum(probs[::-1])[::-1], zero])
+    s1 = jnp.concatenate([jnp.cumsum((probs * x)[::-1])[::-1], zero])
+    return COPTSummary(suffix_prob=s0, suffix_xprob=s1)
+
+
+def risk_at_loads(summary: COPTSummary, total_capacity, loads,
+                  step: float):
+    """(lolp [H], eue_rate [H]) against per-hour loads.
+
+    lolp_h = P[Outage > reserve_h]; eue_rate_h = E[(Outage - reserve_h)+]
+    with reserve = total_capacity - load (strict inequality via the
+    floor(reserve/step)+1 index, generating_adequacy_assessment.jl:122-141).
+    """
+    n = summary.suffix_prob.shape[0] - 1
+    reserve = total_capacity - loads
+    idx = jnp.clip(jnp.floor(reserve / step).astype(jnp.int32) + 1, 0, n)
+    lolp = summary.suffix_prob[idx]
+    eue = summary.suffix_xprob[idx] - reserve * summary.suffix_prob[idx]
+    return lolp, eue
+
+
+def lole_eue(probs: jax.Array, step: float, total_capacity, loads):
+    """Annual LOLE (h) and EUE (MWh) for an hourly load vector."""
+    s = summarize(probs, step)
+    lolp, eue = risk_at_loads(s, total_capacity, loads, step)
+    return jnp.sum(lolp), jnp.sum(eue)
+
+
+def lole_eue_lfu(probs: jax.Array, step: float, total_capacity, loads,
+                 lfu_sigma_mw: float):
+    """LOLE/EUE under the 7-point load-forecast-uncertainty mixture."""
+    s = summarize(probs, step)
+    pts = jnp.asarray(LFU_POINTS, probs.dtype)
+    ws = jnp.asarray(LFU_PROBS, probs.dtype)
+
+    def one(z, w):
+        lolp, eue = risk_at_loads(s, total_capacity, loads + z * lfu_sigma_mw,
+                                  step)
+        return w * jnp.sum(lolp), w * jnp.sum(eue)
+
+    lo, eu = jax.vmap(one)(pts, ws)
+    return jnp.sum(lo), jnp.sum(eu)
+
+
+def fd_risk(cum_p: jax.Array, cum_f: jax.Array, step: float,
+            total_capacity, peak_load, hours_per_year: float = 8760.0):
+    """(LOLE h/yr, LOLF occ/yr, LOLD h/occ) at a constant peak load.
+
+    generating_adequacy_frequency.jl:155-186: index of first outage level
+    strictly greater than the reserve.
+    """
+    n = cum_p.shape[0]
+    reserve = total_capacity - peak_load
+    idx = jnp.clip(jnp.floor(reserve / step).astype(jnp.int32) + 1, 0, n - 1)
+    lole = cum_p[idx] * hours_per_year
+    lolf = cum_f[idx]
+    lold = jnp.where(lolf > 0, lole / lolf, 0.0)
+    return lole, lolf, lold

@@ -1,0 +1,174 @@
+"""Distributed reliability-index accumulators.
+
+The per-batch device computation produces *partial sums* (first and second
+moments of DNS, failure flags, nodal shed vectors, and the
+component-down-during-failure outer sums used for weak-point detection —
+nsqMain.m:281-301, :345-393; seqMain.m:160-185, :215-250). Under
+``shard_map`` these partials are ``psum``-reduced over the scenario mesh
+axis; the host then folds successive batch partials into float64 running
+statistics and evaluates the beta / coefficient-of-variation stopping rules.
+
+Keeping the cross-batch state on host (in float64) avoids f32 cancellation
+over 1e5..1e9 samples and makes checkpoint/resume trivial.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from powersystemsreliabilityassessment_tpu.parallel.mesh import SCENARIO_AXIS
+
+
+class BatchMoments(NamedTuple):
+    """Partial sums over one scenario batch (device side)."""
+    n: jax.Array            # scalar sample count
+    sum_dns: jax.Array      # scalar sum of DNS (MW)
+    sum_dns_sq: jax.Array   # scalar sum of DNS^2
+    sum_flag: jax.Array     # scalar count of failure states
+    sum_nodal: jax.Array    # [nb] sum of nodal shed (MW)
+    sum_comp_fail: jax.Array  # [n_comp] sum of comp-down over failure states
+
+
+def batch_moments(dns_mw, nodal_mw, failure, comp_down) -> BatchMoments:
+    f = failure.astype(dns_mw.dtype)
+    return BatchMoments(
+        n=jnp.asarray(dns_mw.shape[0], dns_mw.dtype),
+        sum_dns=jnp.sum(dns_mw),
+        sum_dns_sq=jnp.sum(dns_mw * dns_mw),
+        sum_flag=jnp.sum(f),
+        sum_nodal=jnp.sum(nodal_mw, axis=0),
+        sum_comp_fail=f @ comp_down.astype(dns_mw.dtype),
+    )
+
+
+def psum_moments(m: BatchMoments) -> BatchMoments:
+    """All-reduce partials over the scenario mesh axis (inside shard_map)."""
+    return jax.tree.map(lambda a: jax.lax.psum(a, SCENARIO_AXIS), m)
+
+
+MOMENTS_OUT_SPECS = BatchMoments(
+    n=P(), sum_dns=P(), sum_dns_sq=P(), sum_flag=P(),
+    sum_nodal=P(), sum_comp_fail=P())
+
+
+@dataclasses.dataclass
+class RunningStats:
+    """Host-side float64 cross-batch accumulator (NSQ path)."""
+
+    n: float = 0.0
+    sum_dns: float = 0.0
+    sum_dns_sq: float = 0.0
+    sum_flag: float = 0.0
+    sum_nodal: np.ndarray | None = None
+    sum_comp_fail: np.ndarray | None = None
+
+    def update(self, m: BatchMoments) -> None:
+        m = jax.tree.map(lambda a: np.asarray(a, np.float64), m)
+        self.n += float(m.n)
+        self.sum_dns += float(m.sum_dns)
+        self.sum_dns_sq += float(m.sum_dns_sq)
+        self.sum_flag += float(m.sum_flag)
+        self.sum_nodal = (m.sum_nodal if self.sum_nodal is None
+                          else self.sum_nodal + m.sum_nodal)
+        self.sum_comp_fail = (m.sum_comp_fail if self.sum_comp_fail is None
+                              else self.sum_comp_fail + m.sum_comp_fail)
+
+    # -- reliability indices (nsqMain.m:281-301) ---------------------------
+    @property
+    def edns(self) -> float:
+        return self.sum_dns / max(self.n, 1.0)
+
+    @property
+    def plc(self) -> float:
+        return self.sum_flag / max(self.n, 1.0)
+
+    def lole(self, hours_per_year: float = 8760.0) -> float:
+        return self.plc * hours_per_year
+
+    @property
+    def beta(self) -> float:
+        """Coefficient of variation of the EDNS estimator.
+
+        Matches nsqMain.m:297-301: sqrt(sum (dns - EDNS)^2) / (N * EDNS),
+        using sum (dns-mean)^2 = sum dns^2 - N mean^2.
+        """
+        if self.n <= 0 or self.sum_dns <= 0:
+            return float("inf")
+        mean = self.edns
+        ss = max(self.sum_dns_sq - self.n * mean * mean, 0.0)
+        return float(np.sqrt(ss) / (self.n * mean))
+
+    def nodal_eens(self, hours_per_year: float = 8760.0) -> np.ndarray:
+        """Per-bus EENS MWh/yr (nsqMain.m:345-358: mean nodal DNS * 8760)."""
+        return self.sum_nodal / max(self.n, 1.0) * hours_per_year
+
+    def component_importance(self) -> np.ndarray:
+        """P(component down | system failure) (nsqMain.m:360-376)."""
+        if self.sum_comp_fail is None or self.sum_flag == 0:
+            return np.zeros(0)
+        return self.sum_comp_fail / self.sum_flag
+
+    def state(self) -> dict:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_state(cls, d: dict) -> "RunningStats":
+        return cls(**d)
+
+
+@dataclasses.dataclass
+class AnnualStats:
+    """Host-side per-year accumulator (SEQ path, seqMain.m:160-198)."""
+
+    ens: list = dataclasses.field(default_factory=list)    # MWh per year
+    plc: list = dataclasses.field(default_factory=list)
+    nlc: list = dataclasses.field(default_factory=list)
+    dlc: list = dataclasses.field(default_factory=list)
+    dns: list = dataclasses.field(default_factory=list)
+    sum_nodal: np.ndarray | None = None
+    sum_comp_fail: np.ndarray | None = None
+    total_loss_hours: float = 0.0
+
+    def update_years(self, ens, plc, nlc, dlc, dns, nodal_sum,
+                     comp_fail_sum, loss_hours) -> None:
+        self.ens.extend(np.asarray(ens, np.float64).tolist())
+        self.plc.extend(np.asarray(plc, np.float64).tolist())
+        self.nlc.extend(np.asarray(nlc, np.float64).tolist())
+        self.dlc.extend(np.asarray(dlc, np.float64).tolist())
+        self.dns.extend(np.asarray(dns, np.float64).tolist())
+        nodal_sum = np.asarray(nodal_sum, np.float64)
+        comp_fail_sum = np.asarray(comp_fail_sum, np.float64)
+        self.sum_nodal = (nodal_sum if self.sum_nodal is None
+                          else self.sum_nodal + nodal_sum)
+        self.sum_comp_fail = (comp_fail_sum if self.sum_comp_fail is None
+                              else self.sum_comp_fail + comp_fail_sum)
+        self.total_loss_hours += float(loss_hours)
+
+    @property
+    def years(self) -> int:
+        return len(self.ens)
+
+    @property
+    def eens(self) -> float:
+        return float(np.mean(self.ens)) if self.ens else 0.0
+
+    @property
+    def cov(self) -> float:
+        """std/(mean*sqrt(N)) with ddof=1 (seqMain.m:183-185)."""
+        n = self.years
+        if n < 2 or self.eens <= 0:
+            return float("inf")
+        return float(np.std(self.ens, ddof=1) / (self.eens * np.sqrt(n)))
+
+    def nodal_eens(self) -> np.ndarray:
+        return self.sum_nodal / max(self.years, 1)
+
+    def component_importance(self) -> np.ndarray:
+        if self.sum_comp_fail is None or self.total_loss_hours == 0:
+            return np.zeros(0)
+        return self.sum_comp_fail / self.total_loss_hours

@@ -1,0 +1,78 @@
+"""Sequential (chronological) state-duration sampling.
+
+Replaces the reference's per-component while-loop "next event" simulation
+(``Montecarlo_seq/seq_mcsampling.m:44-75``: alternate exponential TTF/TTR
+draws, ``round`` for up-times, ``ceil`` for repair-times) with a fully
+vectorized fixed-draw-count construction suitable for XLA:
+
+1.  draw a static number K of (up, down) duration pairs per component;
+2.  interleave and prefix-sum them into event-time boundaries ``[2K]``;
+3.  a component is DOWN at (0-based) hour ``h`` iff
+    ``searchsorted(boundaries, h, side="right")`` is odd.
+
+Step 3 reproduces the reference's integer interval semantics exactly
+(down hours are ``[t, t + ttr)`` after an up-time ending at ``t``). K is
+chosen so the probability of the boundary sequence not covering the horizon
+is < 1e-6 (the tail beyond the last drawn event is treated as UP; with the
+default margin this is a < 1e-6 perturbation — the reference's while-loop
+has no such truncation but is not shape-static).
+
+The alternative per-hour Markov-transition sampler used by the educational
+modules (Markov_process.jl:172-195) lives in :mod:`.markov`.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def default_num_draws(mttf: np.ndarray, mttr: np.ndarray, hours: int) -> int:
+    """Static per-run draw count K: mean cycles + 8 sigma + slack."""
+    cycle = np.asarray(mttf, dtype=np.float64) + np.asarray(mttr, np.float64)
+    n_mean = hours / cycle
+    k = n_mean + 8.0 * np.sqrt(np.maximum(n_mean, 1.0)) + 8.0
+    return int(np.ceil(k.max()))
+
+
+@partial(jax.jit, static_argnames=("hours", "n_draws", "quantize"))
+def sample_timeline(key: jax.Array, mttf: jax.Array, mttr: jax.Array,
+                    hours: int, n_draws: int,
+                    quantize: bool = True) -> jax.Array:
+    """One chronological realization for all components.
+
+    Returns bool [n_comp, hours], True = DOWN (the reference convention).
+    ``quantize=True`` applies the reference's round(TTF)/ceil(TTR) integer
+    quantization (seq_mcsampling.m:369-376); ``False`` keeps continuous
+    event times (hour state = state at the start of the hour).
+    """
+    n = mttf.shape[0]
+    ku, kd = jax.random.split(key)
+    uu = jax.random.uniform(ku, (n, n_draws), minval=1e-12, maxval=1.0)
+    ud = jax.random.uniform(kd, (n, n_draws), minval=1e-12, maxval=1.0)
+    ttf = -mttf[:, None] * jnp.log(uu)
+    ttr = -mttr[:, None] * jnp.log(ud)
+    if quantize:
+        ttf = jnp.round(ttf)
+        ttr = jnp.ceil(ttr)
+
+    # Interleave up/down durations -> [n, 2K] event boundaries.
+    durations = jnp.stack([ttf, ttr], axis=2).reshape(n, 2 * n_draws)
+    bounds = jnp.cumsum(durations, axis=1)
+
+    hour_idx = jnp.arange(hours, dtype=bounds.dtype)
+    interval = jax.vmap(
+        lambda bo: jnp.searchsorted(bo, hour_idx, side="right"))(bounds)
+    return (interval % 2) == 1
+
+
+@partial(jax.jit, static_argnames=("hours", "n_draws", "batch", "quantize"))
+def sample_timeline_batch(key: jax.Array, mttf: jax.Array, mttr: jax.Array,
+                          hours: int, n_draws: int, batch: int,
+                          quantize: bool = True) -> jax.Array:
+    """[batch, n_comp, hours] independent yearly realizations."""
+    keys = jax.random.split(key, batch)
+    return jax.vmap(lambda k: sample_timeline(
+        k, mttf, mttr, hours, n_draws, quantize))(keys)

@@ -1,0 +1,68 @@
+"""Dataclass configuration objects (the reference hard-codes these as
+script-top constants; see SURVEY.md §5.6)."""
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class CompatFlags:
+    """Explicit compatibility switches for the reference's reproducibility
+    quirks (SURVEY.md §6). Defaults replicate the reference behavior."""
+
+    # mc_sampling.m:40-41 — sync condenser (comp 15, 1-based) pinned up in
+    # the NSQ sampler only (NOT in the SEQ sampler).
+    sync_cond_always_up_nsq: bool = True
+    # mc_simulation.m:57-59 / seq_mcsimulation.m:475-477 — DNS noise floor.
+    dns_noise_floor_mw: float = 0.1
+    # nsqMain.m:270 — failure flag threshold on total DNS.
+    nsq_fail_flag_threshold_mw: float = 1e-4
+    # seqMain.m:41 — curtailment event threshold.
+    seq_curtail_threshold_mw: float = 0.01
+    # nodal shed noise threshold (mc_simulation.m:86).
+    nodal_noise_threshold_mw: float = 1e-3
+    # 8736 vs 8760 inconsistency: SEQ simulates 8736 h/yr but rate
+    # conversions and NSQ LOLE annualization use 8760.
+    hours_per_year_seq: int = 8736
+    hours_per_year_annualize: int = 8760
+    # MATPOWER enforces Pmin for committed units; the min-shed LP is run
+    # without Pmin by default (documented deviation: with zero generator
+    # costs Pmin only binds in over-generation corner cases, which the
+    # reference itself handles inconsistently — seqMain.m:117-126 records
+    # solver failures as zero curtailment).
+    enforce_pmin: bool = False
+    # anloducurve.m:39 nonstandard weekday formula ("reference") vs
+    # conventional calendar ("calendar").
+    weekday_mode: str = "reference"
+
+
+@dataclasses.dataclass(frozen=True)
+class MCSConfig:
+    """Monte Carlo study configuration."""
+
+    seed: int = 0
+    batch_size: int = 1024          # scenarios per device batch
+    max_samples: int = 100_000      # NSQ cap (nsqMain.m:61)
+    beta_limit: float = 0.0017      # NSQ convergence target (nsqMain.m:60)
+    max_years: int = 4000           # SEQ cap (seqMain.m:39)
+    cov_threshold: float = 0.05     # SEQ convergence target (seqMain.m:40)
+    antithetic: bool = False        # variance reduction (scale-up config)
+
+
+@dataclasses.dataclass(frozen=True)
+class IPMConfig:
+    """Batched interior-point solver settings (fixed-shape, jit-safe)."""
+
+    iterations: int = 30
+    tau: float = 0.99               # fraction-to-boundary
+    regularization: float = 1e-7    # normal-matrix diagonal shift
+    theta_max: float = 6.0          # voltage-angle box, rad
+    dtype: str = "float32"
+    # Freeze threshold on the average complementarity product mu: duality
+    # gap ~ 2n*mu, so 1e-7 gives ~2e-5 p.u. (0.002 MW) objective accuracy on
+    # RTS-24-sized LPs — far below the reference's 0.1 MW noise floor, and
+    # above the f32 zone where Newton steps degrade.
+    mu_tol: float = 1e-7
+    # Below this mu the solver switches from Mehrotra predictor-corrector
+    # to damped pure-centering steps (f32 stability; see lp_ipm.py).
+    center_tol: float = 1e-4
