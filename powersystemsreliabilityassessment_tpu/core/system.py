@@ -30,7 +30,7 @@ from powersystemsreliabilityassessment_tpu.utils.config import CompatFlags
     data_fields=[
         "bus_pd", "gen_bus_onehot", "load_onehot", "load_pd", "incidence",
         "b_susceptance", "br_rate", "gen_pmax", "gen_pmin", "unavail",
-        "mttf", "mttr", "always_up_nsq",
+        "mttf", "mttr", "always_up_nsq", "ptdf",
     ],
     meta_fields=["name", "n_bus", "n_gen", "n_branch", "n_load", "base_mva"],
 )
@@ -56,6 +56,8 @@ class System:
     mttf: jax.Array            # [ncomp] hours
     mttr: jax.Array            # [ncomp] hours
     always_up_nsq: jax.Array   # [ncomp] bool: pinned-up in NSQ sampling
+    ptdf: jax.Array            # [nl, nb] intact-network power transfer
+    #                            distribution factors (ref bus column 0)
 
     # Static metadata
     name: str
@@ -100,6 +102,15 @@ def build_system(case: CaseData, compat: CompatFlags = CompatFlags(),
     u = twostate.unavailability(case)
     mt = twostate.mean_times(case)
 
+    # Intact-network PTDF (float64 on host, once): flows = PTDF @ injections.
+    # Used by the exact fast-path certificate in engines/dcopf.py for states
+    # without branch outages; reference bus = bus 0.
+    bsus = 1.0 / case.br_x
+    b_bus = inc.T @ (bsus[:, None] * inc)
+    b_red = b_bus[1:, 1:]
+    ptdf = np.zeros((nl, nb))
+    ptdf[:, 1:] = (bsus[:, None] * inc[:, 1:]) @ np.linalg.inv(b_red)
+
     always_up = np.zeros(case.n_comp, dtype=bool)
     if compat.sync_cond_always_up_nsq:
         always_up[: ng] = case.sync_cond_mask
@@ -121,6 +132,7 @@ def build_system(case: CaseData, compat: CompatFlags = CompatFlags(),
         mttf=dev(mt[:, 0]),
         mttr=dev(mt[:, 1]),
         always_up_nsq=jnp.asarray(always_up),
+        ptdf=dev(ptdf),
         name=case.name,
         n_bus=nb,
         n_gen=ng,

@@ -3,16 +3,28 @@
 Replaces the reference's per-state ``runopf`` calls (MATPOWER MIPS DC-OPF
 with dispatchable-load "virtual generators": ``mc_simulation.m:32-99``,
 ``seq_mcsimulation.m:432-507``, load transform ``dispaload.m:30-87``) with a
-single batched LP in **B-theta form**:
+two-tier batched evaluator:
+
+**Tier 1 — exact certificate (vectorized, no LP).** For a state with no
+branch outage, DNS is lower-bounded by the copper-sheet deficit
+``max(0, load - available capacity)``; if a concrete dispatch/shed pattern
+achieving that bound passes the intact-network PTDF flow check, the bound
+is *provably optimal*. The zero-deficit version of this certificate
+resolves the large majority of sampled states with a couple of matmuls.
+
+**Tier 2 — interior-point LP in B-theta form** for everything else
+(branch outages, islands, congestion):
 
     variables  x = [Pg (ng), shed (nd), f (nl), theta (nb)]
     minimize   sum(shed)
     s.t.       Cg Pg + Cd shed - Minc' f = bus_load          (nb rows)
                (1/b_l) f_l - status_l (theta_i - theta_j) = 0 (nl rows)
-               0 <= Pg <= Pmax * status,  0 <= shed <= load,
+               0 <= Pg <= Pmax,  0 <= shed <= load,
                |f| <= rate,  |theta| <= theta_max
+    (out-of-service units are zeroed COLUMNS of the balance block — the
+    LP bounds are state-independent.)
 
-Why B-theta instead of the PTDF form: branch outages and island formation
+Why B-theta instead of a PTDF LP: branch outages and island formation
 change the PTDF but only *mask rows* here — every outage pattern (including
 network splits, which single-line outages can cause on RTS-24: line 7-8
 islands bus 7) compiles to the same static-shape LP, and per-island power
@@ -44,10 +56,11 @@ class EvalResult(NamedTuple):
     gen_dispatch: jax.Array  # [B, ng] p.u. (diagnostics / tests)
 
 
-def _lp_dims(sys: System) -> tuple[int, int]:
-    n = sys.n_gen + sys.n_load + sys.n_branch + sys.n_bus
-    m = sys.n_bus + sys.n_branch
-    return n, m
+class Certificate(NamedTuple):
+    certified: jax.Array   # [B] bool: deficit proven optimal
+    deficit: jax.Array     # [B] p.u. copper-sheet DNS lower bound
+    shed: jax.Array        # [B, nd] p.u. certificate shed pattern
+    dispatch: jax.Array    # [B, ng] p.u. certificate dispatch
 
 
 def build_state_lp(sys: System, gen_up: jax.Array, br_up: jax.Array,
@@ -106,6 +119,50 @@ def build_state_lp(sys: System, gen_up: jax.Array, br_up: jax.Array,
     return c, A, b, l, u
 
 
+def certify_states(sys: System, comp_down: jax.Array, load_pu: jax.Array,
+                   shed_hint: jax.Array | None = None) -> Certificate:
+    """Tier-1 exact bound certificate (batch).
+
+    For states with no branch outage: DNS >= deficit = max(0, load - cap).
+    Build a balanced dispatch/shed candidate at exactly that bound (using
+    ``shed_hint``'s pattern when provided, else load-proportional) and
+    check the intact-network PTDF flows. If they pass, the bound is the
+    exact optimum of the Tier-2 LP.
+    """
+    ng = sys.n_gen
+    dt = sys.bus_pd.dtype
+    gen_up = 1.0 - comp_down[:, :ng].astype(dt)
+    no_line_out = ~jnp.any(comp_down[:, ng:], axis=1)
+    cap = gen_up @ sys.gen_pmax                        # [B]
+    load_tot = jnp.sum(load_pu, axis=1)                # [B]
+    deficit = jnp.maximum(load_tot - cap, 0.0)
+
+    prop = load_pu * (deficit / jnp.maximum(load_tot, 1e-9))[:, None]
+    if shed_hint is None:
+        cand = prop
+    else:
+        hint_sum = jnp.sum(shed_hint, axis=1)
+        scaled = shed_hint * (deficit / jnp.maximum(hint_sum, 1e-9))[:, None]
+        cand = jnp.where((hint_sum > 1e-6)[:, None], scaled, prop)
+    cand = jnp.minimum(cand, load_pu)
+
+    served = load_tot - deficit
+    alpha = jnp.minimum(served / jnp.maximum(cap, 1e-9), 1.0)
+    dispatch = sys.gen_pmax[None, :] * gen_up * alpha[:, None]
+    # Rebalance the shed pattern so the candidate state is exactly balanced.
+    resid = jnp.sum(dispatch, axis=1) + jnp.sum(cand, axis=1) - load_tot
+    cand = jnp.clip(
+        cand - load_pu * (resid / jnp.maximum(load_tot, 1e-9))[:, None],
+        0.0, load_pu)
+
+    inj = (dispatch @ sys.gen_bus_onehot.T + cand @ sys.load_onehot.T
+           - load_pu @ sys.load_onehot.T)              # [B, nb]
+    flows = inj @ sys.ptdf.T                           # [B, nl]
+    flow_ok = jnp.all(jnp.abs(flows) <= sys.br_rate[None, :] + 1e-4, axis=1)
+    return Certificate(certified=no_line_out & flow_ok, deficit=deficit,
+                       shed=cand, dispatch=dispatch)
+
+
 def _solve_one(sys: System, comp_down: jax.Array, load_pu: jax.Array,
                compat: CompatFlags, ipm: IPMConfig):
     ng, nd, nl = sys.n_gen, sys.n_load, sys.n_branch
@@ -118,25 +175,16 @@ def _solve_one(sys: System, comp_down: jax.Array, load_pu: jax.Array,
     return shed, sol.x[:ng], sol.primal_residual
 
 
-@partial(jax.jit, static_argnames=("compat", "ipm"))
-def evaluate_states(sys: System, comp_down: jax.Array, load_pu: jax.Array,
-                    compat: CompatFlags = CompatFlags(),
-                    ipm: IPMConfig = IPMConfig()) -> EvalResult:
-    """Evaluate a batch of system states with the DC-OPF LP.
-
-    Args:
-      comp_down: [B, n_comp] component failure indicator (1 = failed, the
-        reference convention).
-      load_pu:   [B, n_load] per-load-bus demand in p.u. for each state.
-
-    Returns MW quantities with the reference's noise thresholds applied
-    (mc_simulation.m:57-59, :86).
-    """
-    shed, pg, res = jax.vmap(
-        lambda s, d: _solve_one(sys, s, d, compat, ipm))(comp_down, load_pu)
+def _finalize(sys: System, compat: CompatFlags, shed, pg, res, comp_down,
+              load_pu) -> EvalResult:
+    """Apply the exactness certificate and the reference noise thresholds."""
+    cert = certify_states(sys, comp_down, load_pu, shed_hint=shed)
+    shed = jnp.where(cert.certified[:, None], cert.shed, shed)
+    pg = jnp.where(cert.certified[:, None], cert.dispatch, pg)
 
     base = sys.base_mva
-    dns = jnp.sum(shed, axis=1) * base
+    dns = jnp.where(cert.certified, cert.deficit * base,
+                    jnp.sum(shed, axis=1) * base)
     nodal = (shed * base) @ sys.load_onehot.T  # [B, nb]
 
     dns = jnp.where(dns < compat.dns_noise_floor_mw, 0.0, dns)
@@ -148,11 +196,82 @@ def evaluate_states(sys: System, comp_down: jax.Array, load_pu: jax.Array,
                       primal_residual=res, gen_dispatch=pg)
 
 
+@partial(jax.jit, static_argnames=("compat", "ipm"))
+def evaluate_states(sys: System, comp_down: jax.Array, load_pu: jax.Array,
+                    compat: CompatFlags = CompatFlags(),
+                    ipm: IPMConfig = IPMConfig()) -> EvalResult:
+    """Evaluate a batch of states: IPM on every lane + certificate override.
+
+    Args:
+      comp_down: [B, n_comp] component failure indicator (1 = failed, the
+        reference convention).
+      load_pu:   [B, n_load] per-load-bus demand in p.u. for each state.
+
+    Returns MW quantities with the reference's noise thresholds applied
+    (mc_simulation.m:57-59, :86).
+    """
+    shed, pg, res = jax.vmap(
+        lambda s, d: _solve_one(sys, s, d, compat, ipm))(comp_down, load_pu)
+    return _finalize(sys, compat, shed, pg, res, comp_down, load_pu)
+
+
+@partial(jax.jit, static_argnames=("compat", "ipm", "max_lp"))
+def evaluate_states_screened(sys: System, comp_down: jax.Array,
+                             load_pu: jax.Array, max_lp: int,
+                             compat: CompatFlags = CompatFlags(),
+                             ipm: IPMConfig = IPMConfig()):
+    """Screened evaluation: run the LP only on states that need it.
+
+    States certified at ZERO deficit are resolved by Tier 1 alone; states
+    with a positive deficit or a failed certificate are compacted into a
+    fixed-size buffer of ``max_lp`` lanes and solved by the IPM (positive-
+    deficit states still get the certificate override for the total, but
+    their nodal split comes from the LP's interior solution, matching the
+    reference's MIPS behavior on degenerate optima).
+
+    Returns ``(EvalResult, n_overflow)`` where ``n_overflow`` counts states
+    that needed the LP but did not fit in the buffer (they fall back to the
+    Tier-1 bound with a load-proportional nodal pattern — statistically a
+    tiny, logged perturbation; pick ``max_lp`` so this is ~never hit).
+    """
+    B = comp_down.shape[0]
+    pre = certify_states(sys, comp_down, load_pu)
+    zero_cert = pre.certified & (pre.deficit <= 0)
+    need_lp = ~zero_cert
+
+    idx = jnp.nonzero(need_lp, size=max_lp, fill_value=0)[0]
+    valid = (jnp.arange(max_lp) < jnp.sum(need_lp)) & need_lp[idx]
+
+    sub_res = evaluate_states(sys, comp_down[idx], load_pu[idx], compat, ipm)
+
+    base = sys.base_mva
+    # Tier-1 fallback for every lane (exact for certified lanes; the best
+    # available bound for overflow lanes).
+    dns = pre.deficit * base
+    nodal = (pre.shed * base) @ sys.load_onehot.T
+    pg = pre.dispatch
+    res0 = jnp.zeros((B,), dns.dtype)
+
+    vcol = valid[:, None]
+    dns = dns.at[idx].set(jnp.where(valid, sub_res.dns_mw, dns[idx]))
+    nodal = nodal.at[idx].set(jnp.where(vcol, sub_res.nodal_mw, nodal[idx]))
+    pg = pg.at[idx].set(jnp.where(vcol, sub_res.gen_dispatch, pg[idx]))
+    res = res0.at[idx].set(jnp.where(valid, sub_res.primal_residual, 0.0))
+
+    dns = jnp.where(dns < compat.dns_noise_floor_mw, 0.0, dns)
+    nodal = jnp.where(
+        (nodal > compat.nodal_noise_threshold_mw) & (dns[:, None] > 0),
+        nodal, 0.0)
+    failure = dns > compat.nsq_fail_flag_threshold_mw
+    n_overflow = jnp.maximum(jnp.sum(need_lp) - max_lp, 0)
+    return EvalResult(dns_mw=dns, nodal_mw=nodal, failure=failure,
+                      primal_residual=res, gen_dispatch=pg), n_overflow
+
+
 def copper_sheet_bound(sys: System, comp_down: jax.Array,
                        load_pu: jax.Array) -> jax.Array:
     """Lower bound on DNS (MW): generation-capacity deficit ignoring the
-    network. Used for screening and as a sanity invariant in tests
-    (LP shed >= copper-sheet shed always)."""
+    network. Used as a sanity invariant in tests (LP shed >= this bound)."""
     up = 1.0 - comp_down[..., : sys.n_gen].astype(sys.gen_pmax.dtype)
     cap = up @ sys.gen_pmax
     load = jnp.sum(load_pu, axis=-1)

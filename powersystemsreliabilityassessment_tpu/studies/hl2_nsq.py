@@ -1,0 +1,157 @@
+"""HL2 non-sequential Monte Carlo study (the ``nsqMain.m`` path).
+
+Pipeline per batch (all on device, scenarios sharded over the mesh):
+sample Bernoulli component states at FIXED PEAK LOAD (the reference
+evaluates the peak-load snapshot only — nsqMain.m has no load profile,
+hence its large LOLE; SURVEY.md §6 consistency note) -> two-tier DC-OPF
+evaluation -> index partial sums ``psum``-reduced over the scenario axis.
+The host folds batch partials into float64 running statistics, applies the
+beta stopping rule (beta < 0.0017 or max samples, nsqMain.m:60-61), and
+checkpoints for preemption recovery.
+
+The reference's unique-state dedup database (nsqMain.m:219-245) is
+intentionally dropped: dense re-evaluation beats host-side dedup on TPU
+and is identical in expectation.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from powersystemsreliabilityassessment_tpu.core.cases import CaseData
+from powersystemsreliabilityassessment_tpu.core.system import System, build_system
+from powersystemsreliabilityassessment_tpu.engines import dcopf
+from powersystemsreliabilityassessment_tpu.parallel import accumulators, mesh as meshlib
+from powersystemsreliabilityassessment_tpu.runtime.checkpoint import Checkpointer
+from powersystemsreliabilityassessment_tpu.utils.config import (
+    CompatFlags, IPMConfig, MCSConfig)
+
+
+def make_nsq_batch_step(sys: System, mesh: Mesh, batch_per_device: int,
+                        compat: CompatFlags, ipm: IPMConfig,
+                        max_lp: int | None = None, antithetic: bool = False):
+    """Build the jitted, mesh-sharded one-batch step: key -> BatchMoments."""
+    from powersystemsreliabilityassessment_tpu.sampling.state import sample_states
+
+    if max_lp is None:
+        # Peak-load shed probability is ~10%; 50% buffer is effectively
+        # overflow-free while still skipping the LP for ~85% of states.
+        max_lp = max(batch_per_device // 2, 16)
+
+    def device_step(key):
+        dev = jax.lax.axis_index(meshlib.SCENARIO_AXIS)
+        k = jax.random.fold_in(key, dev)
+        down = sample_states(k, sys.unavail, sys.always_up_nsq,
+                             batch_per_device, antithetic=antithetic)
+        load = jnp.broadcast_to(sys.load_pd[None, :],
+                                (batch_per_device, sys.n_load))
+        res, n_over = dcopf.evaluate_states_screened(
+            sys, down, load, max_lp, compat, ipm)
+        m = accumulators.batch_moments(res.dns_mw, res.nodal_mw, res.failure,
+                                       down)
+        return accumulators.psum_moments(m), jax.lax.psum(
+            n_over, meshlib.SCENARIO_AXIS)
+
+    return jax.jit(shard_map(
+        device_step, mesh=mesh,
+        in_specs=P(),
+        out_specs=(accumulators.MOMENTS_OUT_SPECS, P()),
+        check_rep=False,
+    ))
+
+
+@dataclasses.dataclass
+class NSQResult:
+    edns_mw: float
+    lole_hr_yr: float
+    plc: float
+    beta: float
+    samples: int
+    converged: bool
+    nodal_eens_mwh_yr: np.ndarray
+    comp_importance: np.ndarray
+    beta_history: list
+    edns_history: list
+    lole_history: list
+    plc_history: list
+    overflow_states: int
+
+    def to_dict(self) -> dict[str, Any]:
+        d = dataclasses.asdict(self)
+        d["nodal_eens_mwh_yr"] = self.nodal_eens_mwh_yr.tolist()
+        d["comp_importance"] = self.comp_importance.tolist()
+        return d
+
+
+def run_nsq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
+                  compat: CompatFlags = CompatFlags(),
+                  ipm: IPMConfig = IPMConfig(),
+                  mesh: Mesh | None = None,
+                  checkpointer: Checkpointer | None = None,
+                  log_every: int = 10) -> NSQResult:
+    sys = build_system(case, compat)
+    mesh = mesh or meshlib.scenario_mesh()
+    n_dev = mesh.devices.size
+    bpd = max(cfg.batch_size // n_dev, 1)
+    global_batch = bpd * n_dev
+
+    step = make_nsq_batch_step(sys, mesh, bpd, compat, ipm,
+                               antithetic=cfg.antithetic)
+    root = jax.random.key(cfg.seed)
+
+    stats = accumulators.RunningStats()
+    histories = {"beta": [], "edns": [], "lole": [], "plc": []}
+    batch_idx, overflow = 0, 0
+
+    if checkpointer is not None:
+        restored = checkpointer.restore()
+        if restored is not None:
+            stats = accumulators.RunningStats.from_state(restored["stats"])
+            histories = restored["histories"]
+            batch_idx = int(restored["batch_idx"])
+            overflow = int(restored.get("overflow", 0))
+
+    while stats.n < cfg.max_samples and (stats.beta > cfg.beta_limit):
+        key = jax.random.fold_in(root, batch_idx)
+        moments, n_over = step(key)
+        stats.update(moments)
+        overflow += int(n_over)
+        batch_idx += 1
+
+        histories["beta"].append(stats.beta)
+        histories["edns"].append(stats.edns)
+        histories["lole"].append(stats.lole(compat.hours_per_year_annualize))
+        histories["plc"].append(stats.plc)
+
+        if log_every and batch_idx % log_every == 0:
+            print(f"samples {int(stats.n):7d}: beta={stats.beta:.6f} "
+                  f"EDNS={stats.edns:.4f} MW LOLE="
+                  f"{stats.lole(compat.hours_per_year_annualize):.2f} hr/yr")
+        if checkpointer is not None and batch_idx % 50 == 0:
+            checkpointer.save({"stats": stats.state(),
+                               "histories": histories,
+                               "batch_idx": batch_idx,
+                               "overflow": overflow})
+
+    return NSQResult(
+        edns_mw=stats.edns,
+        lole_hr_yr=stats.lole(compat.hours_per_year_annualize),
+        plc=stats.plc,
+        beta=stats.beta,
+        samples=int(stats.n),
+        converged=stats.beta <= cfg.beta_limit,
+        nodal_eens_mwh_yr=stats.nodal_eens(compat.hours_per_year_annualize),
+        comp_importance=stats.component_importance(),
+        beta_history=histories["beta"],
+        edns_history=histories["edns"],
+        lole_history=histories["lole"],
+        plc_history=histories["plc"],
+        overflow_states=overflow,
+    )
