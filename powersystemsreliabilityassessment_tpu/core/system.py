@@ -30,7 +30,7 @@ from powersystemsreliabilityassessment_tpu.utils.config import CompatFlags
     data_fields=[
         "bus_pd", "gen_bus_onehot", "load_onehot", "load_pd", "incidence",
         "b_susceptance", "br_rate", "gen_pmax", "gen_pmin", "unavail",
-        "mttf", "mttr", "always_up_nsq", "ptdf",
+        "mttf", "mttr", "always_up_nsq", "ptdf", "lodf",
     ],
     meta_fields=["name", "n_bus", "n_gen", "n_branch", "n_load", "base_mva"],
 )
@@ -58,6 +58,9 @@ class System:
     always_up_nsq: jax.Array   # [ncomp] bool: pinned-up in NSQ sampling
     ptdf: jax.Array            # [nl, nb] intact-network power transfer
     #                            distribution factors (ref bus column 0)
+    lodf: jax.Array            # [nl, nl] line-outage distribution factors;
+    #                            column k is +inf-free only when outaging k
+    #                            does NOT island the network
 
     # Static metadata
     name: str
@@ -111,6 +114,19 @@ def build_system(case: CaseData, compat: CompatFlags = CompatFlags(),
     ptdf = np.zeros((nl, nb))
     ptdf[:, 1:] = (bsus[:, None] * inc[:, 1:]) @ np.linalg.inv(b_red)
 
+    # LODF for single-branch-outage certificates: a[l,k] = flow on l per
+    # unit transfer across k; LODF[l,k] = a[l,k]/(1-a[k,k]). A column whose
+    # outage islands the network (a_kk -> 1, e.g. RTS-24 line 7-8) is
+    # marked unusable with a huge sentinel so its PTDF check always fails
+    # and the state falls through to the LP.
+    a = ptdf @ inc.T                      # [nl, nl]
+    denom = 1.0 - np.diagonal(a)
+    usable = np.abs(denom) > 1e-6
+    lodf = np.where(usable[None, :], a / np.where(usable, denom, 1.0)[None, :],
+                    1e6)
+    np.fill_diagonal(lodf, -1.0)
+    lodf = np.where(usable[None, :], lodf, 1e6)
+
     always_up = np.zeros(case.n_comp, dtype=bool)
     if compat.sync_cond_always_up_nsq:
         always_up[: ng] = case.sync_cond_mask
@@ -133,6 +149,7 @@ def build_system(case: CaseData, compat: CompatFlags = CompatFlags(),
         mttr=dev(mt[:, 1]),
         always_up_nsq=jnp.asarray(always_up),
         ptdf=dev(ptdf),
+        lodf=dev(lodf),
         name=case.name,
         n_bus=nb,
         n_gen=ng,

@@ -158,8 +158,27 @@ def certify_states(sys: System, comp_down: jax.Array, load_pu: jax.Array,
     inj = (dispatch @ sys.gen_bus_onehot.T + cand @ sys.load_onehot.T
            - load_pu @ sys.load_onehot.T)              # [B, nb]
     flows = inj @ sys.ptdf.T                           # [B, nl]
-    flow_ok = jnp.all(jnp.abs(flows) <= sys.br_rate[None, :] + 1e-4, axis=1)
-    return Certificate(certified=no_line_out & flow_ok, deficit=deficit,
+    rate_ok = sys.br_rate[None, :] + 1e-4
+    flow_ok = jnp.all(jnp.abs(flows) <= rate_ok, axis=1)
+    certified = no_line_out & flow_ok
+
+    # Single-branch-outage extension via LODF (exact post-outage flows):
+    # crucial for chronological studies, where a 768-hour transformer
+    # repair would otherwise send an entire stretch of hours to the LP.
+    # Only the zero-deficit case is certified here (shed pattern trivial);
+    # islanding outages carry a 1e6 sentinel in their LODF column, which
+    # fails the flow check and falls through to the LP.
+    br_down = comp_down[:, ng:].astype(dt)
+    n_out = jnp.sum(br_down, axis=1)
+    single = (n_out == 1) & (deficit <= 0)
+    k = jnp.argmax(br_down, axis=1)                    # [B]
+    fk = jnp.take_along_axis(flows, k[:, None], axis=1)  # [B, 1]
+    post = flows + sys.lodf[:, k].T * fk               # [B, nl]
+    post = post * (1.0 - br_down)                      # outaged line: 0
+    single_ok = single & jnp.all(jnp.abs(post) <= rate_ok, axis=1)
+    certified = certified | single_ok
+
+    return Certificate(certified=certified, deficit=deficit,
                        shed=cand, dispatch=dispatch)
 
 

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from powersystemsreliabilityassessment_tpu.core.cases import CaseData
 from powersystemsreliabilityassessment_tpu.core.system import System, build_system
@@ -63,7 +63,7 @@ def make_nsq_batch_step(sys: System, mesh: Mesh, batch_per_device: int,
         device_step, mesh=mesh,
         in_specs=P(),
         out_specs=(accumulators.MOMENTS_OUT_SPECS, P()),
-        check_rep=False,
+        check_vma=False,
     ))
 
 

@@ -1,0 +1,194 @@
+"""HL2 sequential (chronological) Monte Carlo study (the ``seqMain.m`` path).
+
+Per batch of simulated years (years sharded over the mesh — hours within a
+year stay on-chip; SURVEY.md §5.7):
+
+1. sample per-component chronological timelines for the whole year with
+   the vectorized next-event engine (replaces seq_mcsampling.m:44-75);
+2. scale the RTS-79 hourly load profile (anloducurve.m) and certify every
+   hour with the Tier-1 PTDF check — the reference's "contingency hours
+   only" filter (seqMain.m:93-100) generalizes here to "hours the
+   certificate cannot prove shed-free", which is strictly safer (it also
+   catches N-0 congestion);
+3. compact uncertified hours into a fixed-size LP buffer and evaluate;
+4. reduce to the annual indices PLC / NLC (event counting, calnlc.m) /
+   DLC / ENS / EDNS (seqMain.m:160-176) plus nodal and weak-point
+   accumulators; CoV stopping on host (std/(mean*sqrt(N)) < 0.05,
+   seqMain.m:178-198).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from powersystemsreliabilityassessment_tpu.core import load_profile
+from powersystemsreliabilityassessment_tpu.core.cases import CaseData
+from powersystemsreliabilityassessment_tpu.core.system import System, build_system
+from powersystemsreliabilityassessment_tpu.engines import copper_sheet, dcopf
+from powersystemsreliabilityassessment_tpu.models import twostate
+from powersystemsreliabilityassessment_tpu.parallel import mesh as meshlib
+from powersystemsreliabilityassessment_tpu.runtime.checkpoint import Checkpointer
+from powersystemsreliabilityassessment_tpu.sampling import chronological
+from powersystemsreliabilityassessment_tpu.utils.config import (
+    CompatFlags, IPMConfig, MCSConfig)
+
+
+def _year_eval(sys: System, compat: CompatFlags, ipm: IPMConfig,
+               factors: jax.Array, hours: int, n_draws: int, max_lp: int,
+               key: jax.Array):
+    """Evaluate ONE simulated year. Returns annual indices + accumulators."""
+    down = chronological.sample_timeline(
+        key, sys.mttf, sys.mttr, hours, n_draws)          # [ncomp, H] bool
+    down_h = down.T                                       # [H, ncomp]
+    load_h = factors[:, None] * sys.load_pd[None, :]      # [H, nd]
+
+    res, n_over = dcopf.evaluate_states_screened(
+        sys, down_h, load_h, max_lp, compat, ipm)
+
+    dns = res.dns_mw                                      # [H]
+    flag = dns > compat.seq_curtail_threshold_mw          # [H]
+    flag_f = flag.astype(dns.dtype)
+
+    ens = jnp.sum(dns)                                    # MWh
+    plc = jnp.mean(flag_f)
+    dlc = jnp.sum(flag_f)
+    nlc = copper_sheet.count_curtailment_events(flag)
+    # Nodal EENS + weak-point accumulators over loss hours
+    nodal = jnp.sum(jnp.where(flag[:, None], res.nodal_mw, 0.0), axis=0)
+    comp_fail = flag_f @ down_h.astype(dns.dtype)         # [ncomp]
+    loss_hours = dlc
+    return (ens, plc, nlc.astype(dns.dtype), dlc, ens / hours,
+            nodal, comp_fail, loss_hours, n_over)
+
+
+def make_seq_batch_step(sys: System, mesh: Mesh, years_per_device: int,
+                        compat: CompatFlags, ipm: IPMConfig,
+                        hours: int, n_draws: int, max_lp: int,
+                        factors: np.ndarray):
+    fac = jnp.asarray(factors, sys.bus_pd.dtype)
+
+    def device_step(key):
+        dev = jax.lax.axis_index(meshlib.SCENARIO_AXIS)
+        k = jax.random.fold_in(key, dev)
+        keys = jax.random.split(k, years_per_device)
+        outs = jax.vmap(lambda kk: _year_eval(
+            sys, compat, ipm, fac, hours, n_draws, max_lp, kk))(keys)
+        # Per-year vectors are gathered (all years visible on all hosts);
+        # scalar accumulators are psum-reduced.
+        ens, plc, nlc, dlc, edns, nodal, comp_fail, loss_h, n_over = outs
+        gather = lambda a: jax.lax.all_gather(
+            a, meshlib.SCENARIO_AXIS, tiled=True)
+        return (gather(ens), gather(plc), gather(nlc), gather(dlc),
+                gather(edns),
+                jax.lax.psum(jnp.sum(nodal, 0), meshlib.SCENARIO_AXIS),
+                jax.lax.psum(jnp.sum(comp_fail, 0), meshlib.SCENARIO_AXIS),
+                jax.lax.psum(jnp.sum(loss_h), meshlib.SCENARIO_AXIS),
+                jax.lax.psum(jnp.sum(n_over), meshlib.SCENARIO_AXIS))
+
+    return jax.jit(shard_map(
+        device_step, mesh=mesh, in_specs=P(),
+        out_specs=(P(), P(), P(), P(), P(), P(), P(), P(), P()),
+        check_vma=False,
+    ))
+
+
+@dataclasses.dataclass
+class SEQResult:
+    eens_mwh_yr: float
+    lole_hr_yr: float       # mean DLC (seqMain.m:212)
+    lolf_occ_yr: float      # mean NLC (seqMain.m:213)
+    plc: float
+    edns_mw: float
+    cov: float
+    years: int
+    converged: bool
+    nodal_eens_mwh_yr: np.ndarray
+    comp_importance: np.ndarray
+    eens_history: list
+    cov_history: list
+    overflow_hours: int
+
+    def to_dict(self) -> dict[str, Any]:
+        d = dataclasses.asdict(self)
+        d["nodal_eens_mwh_yr"] = self.nodal_eens_mwh_yr.tolist()
+        d["comp_importance"] = self.comp_importance.tolist()
+        return d
+
+
+def run_seq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
+                  compat: CompatFlags = CompatFlags(),
+                  ipm: IPMConfig = IPMConfig(),
+                  mesh: Mesh | None = None,
+                  years_per_device: int = 4,
+                  max_lp: int = 1024,
+                  hours: int | None = None,
+                  checkpointer: Checkpointer | None = None,
+                  log_every: int = 5) -> SEQResult:
+    from powersystemsreliabilityassessment_tpu.parallel.accumulators import AnnualStats
+
+    sys = build_system(case, compat)
+    mesh = mesh or meshlib.scenario_mesh()
+    hours = hours or compat.hours_per_year_seq
+    factors = load_profile.load_factors(hours, compat.weekday_mode)
+    n_draws = chronological.default_num_draws(
+        twostate.mean_times(case)[:, 0], twostate.mean_times(case)[:, 1],
+        hours)
+
+    step = make_seq_batch_step(sys, mesh, years_per_device, compat, ipm,
+                               hours, n_draws, max_lp, factors)
+    root = jax.random.key(cfg.seed)
+
+    stats = AnnualStats()
+    cov_history, eens_history = [], []
+    batch_idx, overflow = 0, 0
+
+    if checkpointer is not None:
+        restored = checkpointer.restore()
+        if restored is not None:
+            stats = AnnualStats(**restored["stats"])
+            cov_history = restored["cov_history"]
+            eens_history = restored["eens_history"]
+            batch_idx = int(restored["batch_idx"])
+            overflow = int(restored.get("overflow", 0))
+
+    while stats.years < cfg.max_years and stats.cov > cfg.cov_threshold:
+        key = jax.random.fold_in(root, batch_idx)
+        ens, plc, nlc, dlc, edns, nodal, comp_fail, loss_h, n_over = step(key)
+        stats.update_years(ens, plc, nlc, dlc, edns, nodal, comp_fail,
+                           float(loss_h))
+        overflow += int(n_over)
+        batch_idx += 1
+        eens_history.append(stats.eens)
+        cov_history.append(stats.cov)
+
+        if log_every and batch_idx % log_every == 0:
+            print(f"year {stats.years:5d} | EENS {stats.eens:9.2f} MWh/yr "
+                  f"| CoV {stats.cov:.4f}")
+        if checkpointer is not None and batch_idx % 20 == 0:
+            checkpointer.save({
+                "stats": dataclasses.asdict(stats),
+                "cov_history": cov_history,
+                "eens_history": eens_history,
+                "batch_idx": batch_idx, "overflow": overflow})
+
+    return SEQResult(
+        eens_mwh_yr=stats.eens,
+        lole_hr_yr=float(np.mean(stats.dlc)) if stats.dlc else 0.0,
+        lolf_occ_yr=float(np.mean(stats.nlc)) if stats.nlc else 0.0,
+        plc=float(np.mean(stats.plc)) if stats.plc else 0.0,
+        edns_mw=float(np.mean(stats.dns)) if stats.dns else 0.0,
+        cov=stats.cov,
+        years=stats.years,
+        converged=stats.cov <= cfg.cov_threshold,
+        nodal_eens_mwh_yr=stats.nodal_eens(),
+        comp_importance=stats.component_importance(),
+        eens_history=eens_history,
+        cov_history=cov_history,
+        overflow_hours=overflow,
+    )

@@ -1,0 +1,173 @@
+"""Batched LP solver and DC-OPF evaluator vs. a float64 scipy reference.
+
+This is the formalization of SURVEY.md §4 test strategy item (d): the
+batched LP is diffed state-by-state against a CPU reference solver on
+enumerated N-1/N-2 contingencies before any Monte Carlo result is trusted.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.optimize import linprog
+
+from powersystemsreliabilityassessment_tpu.core import cases
+from powersystemsreliabilityassessment_tpu.core.system import build_system
+from powersystemsreliabilityassessment_tpu.engines import dcopf, lp_ipm
+from powersystemsreliabilityassessment_tpu.models import twostate
+from powersystemsreliabilityassessment_tpu.utils.config import CompatFlags, IPMConfig
+
+COMPAT = CompatFlags()
+IPM = IPMConfig()
+
+
+@pytest.fixture(scope="module")
+def sys24():
+    return build_system(cases.rts24(), COMPAT)
+
+
+def scipy_dns(sys, down, load_pu):
+    """float64 reference solve of the same LP (MW)."""
+    gu = jnp.asarray(1.0 - down[: sys.n_gen].astype(np.float64))
+    bu = jnp.asarray(1.0 - down[sys.n_gen:].astype(np.float64))
+    c, A, b, l, u = dcopf.build_state_lp(sys, gu, bu, jnp.asarray(load_pu),
+                                         COMPAT, IPM.theta_max)
+    r = linprog(np.asarray(c, np.float64), A_eq=np.asarray(A, np.float64),
+                b_eq=np.asarray(b, np.float64),
+                bounds=list(zip(np.asarray(l, np.float64),
+                                np.asarray(u, np.float64))), method="highs")
+    assert r.status == 0, r.message
+    return r.fun * sys.base_mva
+
+
+class TestBoxLP:
+    def test_random_lps_vs_scipy(self):
+        rng = np.random.default_rng(7)
+        for _ in range(10):
+            m, n = 6, 16
+            A = rng.normal(size=(m, n))
+            b = A @ rng.uniform(0.2, 0.8, n)
+            c = rng.normal(size=n)
+            l, u = np.zeros(n), np.ones(n)
+            ref = linprog(c, A_eq=A, b_eq=b, bounds=list(zip(l, u)),
+                          method="highs")
+            sol = lp_ipm.solve_box_lp(jnp.array(c), jnp.array(A),
+                                      jnp.array(b), jnp.array(l),
+                                      jnp.array(u), IPM)
+            assert float(sol.primal_residual) < 2e-3
+            assert float(sol.objective) == pytest.approx(ref.fun, abs=2e-2)
+
+    def test_batch_matches_single(self):
+        rng = np.random.default_rng(1)
+        m, n, B = 4, 10, 5
+        A = rng.normal(size=(B, m, n))
+        x0 = rng.uniform(0.3, 0.7, (B, n))
+        b = np.einsum("bmn,bn->bm", A, x0)
+        c = rng.normal(size=(B, n))
+        l = np.zeros((B, n)); u = np.ones((B, n))
+        out = lp_ipm.solve_box_lp_batch(jnp.array(c), jnp.array(A),
+                                        jnp.array(b), jnp.array(l),
+                                        jnp.array(u), IPM)
+        for i in range(B):
+            one = lp_ipm.solve_box_lp(jnp.array(c[i]), jnp.array(A[i]),
+                                      jnp.array(b[i]), jnp.array(l[i]),
+                                      jnp.array(u[i]), IPM)
+            assert float(out.objective[i]) == pytest.approx(
+                float(one.objective), abs=5e-3)
+
+
+def _peak_loads(sys, n):
+    return np.tile(np.asarray(sys.load_pd)[None, :], (n, 1))
+
+
+class TestDCOPF:
+    def test_intact_system_no_shed(self, sys24):
+        down = np.zeros((1, 71), bool)
+        res = dcopf.evaluate_states(sys24, jnp.asarray(down),
+                                    jnp.asarray(_peak_loads(sys24, 1)),
+                                    COMPAT, IPM)
+        assert float(res.dns_mw[0]) == 0.0
+        assert not bool(res.failure[0])
+
+    def test_total_blackout(self, sys24):
+        down = np.zeros((1, 71), bool)
+        down[0, :33] = True
+        res = dcopf.evaluate_states(sys24, jnp.asarray(down),
+                                    jnp.asarray(_peak_loads(sys24, 1)),
+                                    COMPAT, IPM)
+        assert float(res.dns_mw[0]) == pytest.approx(2850.0, abs=0.5)
+
+    def test_capacity_deficit_equals_copper_sheet(self, sys24):
+        # Both 400 MW units out at peak: 3405-800 = 2605 < 2850 -> 245 MW
+        down = np.zeros((1, 71), bool)
+        down[0, 22] = down[0, 23] = True
+        res = dcopf.evaluate_states(sys24, jnp.asarray(down),
+                                    jnp.asarray(_peak_loads(sys24, 1)),
+                                    COMPAT, IPM)
+        assert float(res.dns_mw[0]) == pytest.approx(245.0, abs=0.05)
+        assert float(res.nodal_mw.sum()) == pytest.approx(245.0, abs=0.1)
+
+    def test_islanding_line_7_8(self, sys24):
+        # Line 11 (7-8) outage islands bus 7; island has 300 MW gen vs
+        # 125 MW load -> no shed anywhere at peak.
+        down = np.zeros((1, 71), bool)
+        down[0, 33 + 10] = True
+        res = dcopf.evaluate_states(sys24, jnp.asarray(down),
+                                    jnp.asarray(_peak_loads(sys24, 1)),
+                                    COMPAT, IPM)
+        assert float(res.dns_mw[0]) == 0.0
+
+    def test_n1_lines_vs_scipy(self, sys24):
+        B = 38
+        down = np.zeros((B, 71), bool)
+        for i in range(B):
+            down[i, 33 + i] = True
+        loads = _peak_loads(sys24, B)
+        res = dcopf.evaluate_states(sys24, jnp.asarray(down),
+                                    jnp.asarray(loads), COMPAT, IPM)
+        for i in range(0, B, 7):  # spot-check subset (scipy is slow)
+            ref = scipy_dns(sys24, down[i], loads[i])
+            ref = 0.0 if ref < COMPAT.dns_noise_floor_mw else ref
+            assert float(res.dns_mw[i]) == pytest.approx(ref, abs=0.5)
+
+    def test_random_states_vs_scipy(self, sys24):
+        rng = np.random.default_rng(11)
+        u = twostate.unavailability(cases.rts24())
+        B = 24
+        down = rng.uniform(size=(B, 71)) < u[None, :]
+        down[:, 14] = False
+        loads = _peak_loads(sys24, B)
+        res = dcopf.evaluate_states(sys24, jnp.asarray(down),
+                                    jnp.asarray(loads), COMPAT, IPM)
+        bound = dcopf.copper_sheet_bound(sys24, jnp.asarray(down),
+                                         jnp.asarray(loads))
+        for i in range(B):
+            ref = scipy_dns(sys24, down[i], loads[i])
+            ref = 0.0 if ref < COMPAT.dns_noise_floor_mw else ref
+            assert float(res.dns_mw[i]) == pytest.approx(ref, abs=0.6)
+            # LP shed can never beat the copper-sheet bound
+            assert float(res.dns_mw[i]) >= float(bound[i]) - 0.2
+
+    def test_screened_matches_full(self, sys24):
+        rng = np.random.default_rng(5)
+        u = twostate.unavailability(cases.rts24())
+        B = 32
+        down = rng.uniform(size=(B, 71)) < u[None, :]
+        down[:, 14] = False
+        loads = _peak_loads(sys24, B)
+        full = dcopf.evaluate_states(sys24, jnp.asarray(down),
+                                     jnp.asarray(loads), COMPAT, IPM)
+        scr, n_over = dcopf.evaluate_states_screened(
+            sys24, jnp.asarray(down), jnp.asarray(loads), B, COMPAT, IPM)
+        assert int(n_over) == 0
+        np.testing.assert_allclose(np.asarray(scr.dns_mw),
+                                   np.asarray(full.dns_mw), atol=0.5)
+        assert (np.asarray(scr.failure) == np.asarray(full.failure)).all()
+
+    def test_scaled_load_seq_style(self, sys24):
+        # Half load, one U400 out: plenty of margin -> no shed.
+        down = np.zeros((1, 71), bool)
+        down[0, 22] = True
+        loads = 0.5 * _peak_loads(sys24, 1)
+        res = dcopf.evaluate_states(sys24, jnp.asarray(down),
+                                    jnp.asarray(loads), COMPAT, IPM)
+        assert float(res.dns_mw[0]) == 0.0

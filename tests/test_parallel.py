@@ -1,0 +1,93 @@
+"""Mesh/collective layer on the 8-device virtual CPU mesh, plus the
+end-to-end NSQ/SEQ studies at smoke scale."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from powersystemsreliabilityassessment_tpu.core import cases
+from powersystemsreliabilityassessment_tpu.parallel import accumulators, mesh as meshlib
+from powersystemsreliabilityassessment_tpu.runtime.checkpoint import Checkpointer
+from powersystemsreliabilityassessment_tpu.studies.hl2_nsq import run_nsq_study
+from powersystemsreliabilityassessment_tpu.studies.hl2_seq import run_seq_study
+from powersystemsreliabilityassessment_tpu.utils.config import MCSConfig
+
+
+def test_virtual_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_psum_moments_equals_local_sum():
+    mesh = meshlib.scenario_mesh()
+    n_dev = mesh.devices.size
+    rng = np.random.default_rng(0)
+    dns = rng.uniform(0, 10, (n_dev * 4,)).astype(np.float32)
+    nodal = rng.uniform(0, 1, (n_dev * 4, 24)).astype(np.float32)
+    fail = dns > 5
+    comp = rng.uniform(size=(n_dev * 4, 71)) < 0.3
+
+    def f(d, no, fl, cm):
+        return accumulators.psum_moments(
+            accumulators.batch_moments(d, no, fl, cm))
+
+    out = jax.jit(shard_map(
+        f, mesh=mesh, in_specs=(P("scenarios"),) * 4,
+        out_specs=accumulators.MOMENTS_OUT_SPECS, check_vma=False,
+    ))(dns, nodal, fail, comp)
+
+    ref = accumulators.batch_moments(jnp.asarray(dns), jnp.asarray(nodal),
+                                     jnp.asarray(fail), jnp.asarray(comp))
+    assert float(out.n) == dns.shape[0]
+    assert float(out.sum_dns) == pytest.approx(float(ref.sum_dns), rel=1e-5)
+    np.testing.assert_allclose(np.asarray(out.sum_nodal),
+                               np.asarray(ref.sum_nodal), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.sum_comp_fail),
+                               np.asarray(ref.sum_comp_fail), rtol=1e-5)
+
+
+def test_running_stats_indices():
+    s = accumulators.RunningStats()
+    m = accumulators.BatchMoments(
+        n=jnp.float32(4), sum_dns=jnp.float32(20.0),
+        sum_dns_sq=jnp.float32(300.0), sum_flag=jnp.float32(2.0),
+        sum_nodal=jnp.ones(3), sum_comp_fail=jnp.ones(5))
+    s.update(m)
+    assert s.edns == 5.0
+    assert s.plc == 0.5
+    assert s.lole(8760) == 0.5 * 8760
+    # beta = sqrt(300 - 4*25) / (4*5)
+    assert s.beta == pytest.approx(np.sqrt(200.0) / 20.0)
+
+
+class TestStudiesSmoke:
+    def test_nsq_deterministic_and_sane(self, tmp_path):
+        cfg = MCSConfig(batch_size=128, max_samples=256, seed=9)
+        r1 = run_nsq_study(cases.rts24(), cfg, log_every=0)
+        r2 = run_nsq_study(cases.rts24(), cfg, log_every=0)
+        assert r1.edns_mw == r2.edns_mw  # keyed PRNG determinism
+        assert r1.samples == 256
+        assert 0 <= r1.plc <= 1
+        assert r1.edns_mw >= 0
+        assert len(r1.comp_importance) in (0, 71)
+
+    def test_nsq_checkpoint_resume(self, tmp_path):
+        # run 2 batches with checkpoint cadence 1... use small batches
+        ck = Checkpointer(str(tmp_path / "nsq.ckpt"))
+        st = {"stats": accumulators.RunningStats().state(),
+              "histories": {"beta": [], "edns": [], "lole": [], "plc": []},
+              "batch_idx": 0}
+        ck.save(st)
+        restored = ck.restore()
+        assert restored["batch_idx"] == 0
+        s = accumulators.RunningStats.from_state(restored["stats"])
+        assert s.n == 0.0
+
+    def test_seq_smoke(self):
+        cfg = MCSConfig(max_years=16, cov_threshold=0.0, seed=2)
+        r = run_seq_study(cases.rts24(), cfg, years_per_device=2,
+                          max_lp=96, hours=336, log_every=0)
+        assert r.years == 16
+        assert r.eens_mwh_yr >= 0
+        assert r.lolf_occ_yr <= r.lole_hr_yr or r.lole_hr_yr == 0

@@ -1,0 +1,83 @@
+"""Sampling engines: statistical properties + reference semantics."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from powersystemsreliabilityassessment_tpu.core import cases
+from powersystemsreliabilityassessment_tpu.models import twostate
+from powersystemsreliabilityassessment_tpu.sampling import (
+    chronological, markov, state)
+
+
+class TestBernoulli:
+    def test_mean_matches_unavailability(self):
+        u = jnp.asarray(twostate.unavailability(cases.rts24()), jnp.float32)
+        always = jnp.zeros(71, bool)
+        down = state.sample_states(jax.random.key(0), u, always, 20000)
+        freq = np.asarray(down.mean(axis=0))
+        np.testing.assert_allclose(freq, np.asarray(u), atol=0.012)
+
+    def test_always_up_mask(self):
+        u = jnp.full((71,), 0.5, jnp.float32)
+        always = jnp.zeros(71, bool).at[14].set(True)
+        down = state.sample_states(jax.random.key(1), u, always, 500)
+        assert not bool(down[:, 14].any())  # mc_sampling.m:40-41 semantics
+
+    def test_antithetic_pairs(self):
+        u = jnp.full((4,), 0.5, jnp.float32)
+        always = jnp.zeros(4, bool)
+        down = state.sample_states(jax.random.key(2), u, always, 1000,
+                                   antithetic=True)
+        a, b = np.asarray(down[:500]), np.asarray(down[500:])
+        # at U=0.5 the antithetic pair is the exact complement
+        assert (a == ~b).all()
+
+
+class TestChronological:
+    def test_steady_state_fraction(self):
+        mttf = jnp.asarray([450.0, 1100.0])
+        mttr = jnp.asarray([50.0, 150.0])
+        k = chronological.default_num_draws(np.array([450, 1100.0]),
+                                            np.array([50, 150.0]), 8736)
+        down = chronological.sample_timeline_batch(
+            jax.random.key(3), mttf, mttr, 8736, k, 60)
+        frac = np.asarray(down.mean(axis=(0, 2)))
+        expect = np.array([50 / 500, 150 / 1250])
+        np.testing.assert_allclose(frac, expect, atol=0.02)
+
+    def test_interval_semantics(self):
+        # With forced durations the boundary parity must match the
+        # reference's integer interval logic (seq_mcsampling.m:366-387):
+        # up=3 then down=2 -> hours 0,1,2 UP; 3,4 DOWN; then up again.
+        # Emulate via mttf/mttr chosen so the first draws are deterministic
+        # in expectation? Instead test the parity kernel directly.
+        bounds = jnp.asarray([[3.0, 5.0, 10.0, 12.0]])
+        hour = jnp.arange(14, dtype=jnp.float32)
+        interval = jax.vmap(lambda bo: jnp.searchsorted(
+            bo, hour, side="right"))(bounds)
+        downv = (interval % 2) == 1
+        expect = [0, 0, 0, 1, 1, 0, 0, 0, 0, 0, 1, 1, 0, 0]
+        assert np.asarray(downv[0]).astype(int).tolist() == expect
+
+    def test_draw_count_covers_horizon(self):
+        mt = twostate.mean_times(cases.rts24())
+        k = chronological.default_num_draws(mt[:, 0], mt[:, 1], 8736)
+        # fastest-cycling component: 450+50 h -> ~17.5 cycles/yr
+        assert k > 17.5 + 8 * np.sqrt(17.5)
+        down = chronological.sample_timeline(
+            jax.random.key(4), jnp.asarray(mt[:, 0], jnp.float32),
+            jnp.asarray(mt[:, 1], jnp.float32), 8736, k)
+        assert down.shape == (71, 8736)
+
+
+class TestMarkov:
+    def test_stationary_distribution(self):
+        p01, p10 = twostate.transition_probs(np.array([1000.0]),
+                                             np.array([50.0]))
+        path = markov.sample_markov_chain_batch(
+            jax.random.key(5), jnp.asarray(p01, jnp.float32),
+            jnp.asarray(p10, jnp.float32), 2000, 100)
+        # discard burn-in, compare to U = 50/1050
+        frac = float(path[:, :, 500:].mean())
+        assert frac == pytest.approx(50 / 1050, abs=0.01)
