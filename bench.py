@@ -1,0 +1,72 @@
+"""Benchmark: DC-OPF load-shedding scenario throughput on IEEE RTS-24.
+
+Prints ONE JSON line:
+  {"metric": "dcopf_scenarios_per_sec_rts24", "value": N, "unit":
+   "scenarios/sec/chip", "vs_baseline": N/1e5}
+
+The metric counts complete minimum-load-shedding state evaluations per
+second per chip on the NSQ peak-load scenario distribution (the reference's
+hot loop: MATPOWER MIPS DC-OPF per sampled state under parfor,
+nsqMain.m:257-263). Evaluation uses the production two-tier path (exact
+PTDF/LODF certificates + screened interior-point LP). The 1e5 baseline is
+the BASELINE.json north-star target (>100k solves/sec/chip), not a
+reference-published number (the reference publishes none).
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main() -> None:
+    from powersystemsreliabilityassessment_tpu.core import cases
+    from powersystemsreliabilityassessment_tpu.core.system import build_system
+    from powersystemsreliabilityassessment_tpu.engines import dcopf
+    from powersystemsreliabilityassessment_tpu.sampling.state import sample_states
+    from powersystemsreliabilityassessment_tpu.utils.config import (
+        CompatFlags, IPMConfig)
+
+    compat = CompatFlags()
+    ipm = IPMConfig()
+    case = cases.rts24()
+    sys = build_system(case, compat)
+
+    batch = 4096
+    max_lp = batch // 4
+
+    @jax.jit
+    def step(key):
+        down = sample_states(key, sys.unavail, sys.always_up_nsq, batch)
+        load = jnp.broadcast_to(sys.load_pd[None, :], (batch, sys.n_load))
+        res, n_over = dcopf.evaluate_states_screened(
+            sys, down, load, max_lp, compat, ipm)
+        return (jnp.sum(res.dns_mw), jnp.sum(res.failure), n_over)
+
+    # Warm-up / compile.
+    key = jax.random.key(0)
+    out = step(key)
+    jax.block_until_ready(out)
+
+    n_iters = 20
+    t0 = time.perf_counter()
+    total_dns = 0.0
+    for i in range(n_iters):
+        out = step(jax.random.fold_in(key, i))
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    scen_per_sec = batch * n_iters / dt
+    print(json.dumps({
+        "metric": "dcopf_scenarios_per_sec_rts24",
+        "value": round(scen_per_sec, 1),
+        "unit": "scenarios/sec/chip",
+        "vs_baseline": round(scen_per_sec / 1e5, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -43,7 +43,7 @@ def make_nsq_batch_step(sys: System, mesh: Mesh, batch_per_device: int,
     if max_lp is None:
         # Peak-load shed probability is ~10%; 50% buffer is effectively
         # overflow-free while still skipping the LP for ~85% of states.
-        max_lp = max(batch_per_device // 2, 16)
+        max_lp = max(batch_per_device // 4, 16)
 
     def device_step(key):
         dev = jax.lax.axis_index(meshlib.SCENARIO_AXIS)
