@@ -1,0 +1,153 @@
+"""Multi-area adequacy with tie-line constraints (HL1.5).
+
+Replaces ``AdequacyAssessmentII.jl`` (module AdequacyAssessmentFast): areas
+with their own fleets and load curves, joined by capacity-limited tie
+lines; per-hour minimum total curtailment moving surplus to deficit areas.
+
+The reference hand-rolls a Ford-Fulkerson augmenting-path max-flow
+(:73-179). Max-flow min-curtailment is a tiny LP, so here it reuses the
+batched interior-point engine (one more consumer of the same kernel —
+SURVEY.md §7 layer 6):
+
+    variables  x = [flow+ (T), flow- (T), curtail (A), spill (A)]
+    minimize   sum(curtail)
+    s.t. per area: margin + inflow - outflow + curtail - spill = 0
+         0 <= flow± <= tie_cap, 0 <= curtail <= max(-margin,0)+,
+         0 <= spill
+
+with a vectorized fast path for the all-margins-nonnegative case
+(:78-80) and the closed-form ISOLATED policy (:84-92).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from powersystemsreliabilityassessment_tpu.engines import lp_ipm
+from powersystemsreliabilityassessment_tpu.sampling import chronological
+from powersystemsreliabilityassessment_tpu.utils.config import IPMConfig
+
+ISOLATED = "isolated"
+INTERCONNECTED = "interconnected"
+
+
+@dataclasses.dataclass(frozen=True)
+class MultiAreaSystem:
+    """Host-side description (numpy)."""
+    area_names: list
+    gen_capacity: list          # per area: np [Gi]
+    gen_mttf: list
+    gen_mttr: list
+    hourly_load: np.ndarray     # [A, H]
+    tie_from: np.ndarray        # [T] 0-based area index
+    tie_to: np.ndarray          # [T]
+    tie_cap: np.ndarray         # [T]
+
+    @property
+    def n_areas(self) -> int:
+        return len(self.area_names)
+
+
+def curtail_isolated(margins: jax.Array) -> jax.Array:
+    """[..., A] -> [..., A]: curtailment = -min(margin, 0)."""
+    return jnp.maximum(-margins, 0.0)
+
+
+def _interconnect_lp(margins, tie_from, tie_to, tie_cap, big,
+                     ipm: IPMConfig):
+    """Solve one interconnected-curtailment LP instance."""
+    A_areas = margins.shape[0]
+    T = tie_cap.shape[0]
+    dt = margins.dtype
+    # incidence of directed flows: +1 into 'to', -1 out of 'from'
+    inc = jnp.zeros((A_areas, T), dt)
+    inc = inc.at[tie_to, jnp.arange(T)].add(1.0)
+    inc = inc.at[tie_from, jnp.arange(T)].add(-1.0)
+    # Per-area curtailment is capped at the area's ISOLATED deficit: the
+    # reference's max-flow moves surplus only, so interconnection can never
+    # worsen an area (AdequacyAssessmentII.jl policy comparison invariant).
+    # Without this cap the min-total-curtailment LP has degenerate optima
+    # that redistribute shedding between deficit areas. Surplus areas get a
+    # ZERO curtail column + dummy box (epsilon-width boxes break the f32
+    # interior point; see dcopf.build_state_lp).
+    deficit_mask = (margins < 0).astype(dt)
+    curtail_cap = jnp.where(margins < 0, -margins, 1.0)
+    # x = [f+ (T), f- (T), curtail (A), spill (A)]
+    Amat = jnp.concatenate(
+        [inc, -inc, jnp.eye(A_areas, dtype=dt) * deficit_mask[None, :],
+         -jnp.eye(A_areas, dtype=dt)],
+        axis=1)
+    b = -margins
+    c = jnp.concatenate([jnp.zeros((2 * T,), dt), jnp.ones((A_areas,), dt),
+                         jnp.zeros((A_areas,), dt)])
+    l = jnp.zeros((2 * T + 2 * A_areas,), dt)
+    u = jnp.concatenate([tie_cap, tie_cap, curtail_cap,
+                         jnp.full((A_areas,), big, dt)])
+    sol = lp_ipm.solve_box_lp(c, Amat, b, l, u, ipm)
+    # Exact repair: with the LP's (near-optimal) tie flows fixed, the
+    # per-area curtailment is the closed-form deficit of the netted
+    # margins, removing the f32 interior-point gap.
+    net = margins + Amat[:, : 2 * T] @ sol.x[: 2 * T]
+    return jnp.maximum(-net, 0.0)
+
+
+@partial(jax.jit, static_argnames=("policy", "ipm"))
+def solve_curtailment(margins: jax.Array, tie_from: jax.Array,
+                      tie_to: jax.Array, tie_cap: jax.Array,
+                      policy: str = INTERCONNECTED,
+                      ipm: IPMConfig = IPMConfig(iterations=20)) -> jax.Array:
+    """Batched minimum curtailment [B, A] for per-area margins [B, A]."""
+    if policy == ISOLATED:
+        return curtail_isolated(margins)
+    big = jnp.maximum(jnp.max(jnp.abs(margins)), 1.0) * 2.0
+    out = jax.vmap(lambda m: _interconnect_lp(
+        m, tie_from, tie_to, tie_cap, big, ipm))(margins)
+    # fast path: no deficit anywhere -> exactly zero
+    any_deficit = jnp.any(margins < 0, axis=1, keepdims=True)
+    return jnp.where(any_deficit, out, 0.0)
+
+
+def run_multiarea_sequential(sys: MultiAreaSystem, policy: str,
+                             n_years: int, seed: int = 0,
+                             ipm: IPMConfig = IPMConfig(iterations=20)):
+    """Sequential multi-area simulation (AdequacyAssessmentII.jl:185-250).
+
+    Chronological TTF/TTR sampling per unit, per-hour area margins, batched
+    curtailment solve, per-area LOLE (h/yr) and EUE (MWh/yr).
+    """
+    A = sys.n_areas
+    H = sys.hourly_load.shape[1]
+    key = jax.random.key(seed)
+
+    caps = [jnp.asarray(c, jnp.float32) for c in sys.gen_capacity]
+    margins = []
+    for a in range(A):
+        mttf = np.asarray(sys.gen_mttf[a], np.float64)
+        mttr = np.asarray(sys.gen_mttr[a], np.float64)
+        k = chronological.default_num_draws(mttf, mttr, H * n_years)
+        ka = jax.random.fold_in(key, a)
+        down = chronological.sample_timeline_batch(
+            ka, jnp.asarray(mttf, jnp.float32),
+            jnp.asarray(mttr, jnp.float32), H, k, n_years,
+            quantize=False)                               # [Y, G, H]
+        cap_series = jnp.einsum(
+            "ygh,g->yh", 1.0 - down.astype(jnp.float32), caps[a])
+        margins.append(cap_series
+                       - jnp.asarray(sys.hourly_load[a], jnp.float32)[None])
+    margins = jnp.stack(margins, axis=2)                  # [Y, H, A]
+
+    tf = jnp.asarray(sys.tie_from, jnp.int32)
+    tt = jnp.asarray(sys.tie_to, jnp.int32)
+    tc = jnp.asarray(sys.tie_cap, jnp.float32)
+
+    flat = margins.reshape(-1, A)
+    curt = solve_curtailment(flat, tf, tt, tc, policy, ipm)
+    curt = curt.reshape(n_years, H, A)
+
+    lole = jnp.sum(curt > 0, axis=(0, 1)) / n_years       # [A] h/yr
+    eue = jnp.sum(curt, axis=(0, 1)) / n_years            # [A] MWh/yr
+    return np.asarray(lole), np.asarray(eue)

@@ -1,0 +1,150 @@
+"""Planning features (maintenance/ELU/LFU), multi-area engine, and the
+educational studies."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from powersystemsreliabilityassessment_tpu.engines import elu as elu_mod
+from powersystemsreliabilityassessment_tpu.engines import multiarea, planning
+from powersystemsreliabilityassessment_tpu.studies import (
+    hl1_comparison, markov_education, multiarea_demo, planning_elu)
+
+
+class TestMaintenance:
+    def test_levelization_avoids_peaks(self):
+        fleet = planning_elu.demo_planning_fleet()
+        peaks = np.full(52, 800.0)
+        peaks[20:30] = 1100.0  # high-load block: maintenance must avoid it
+        planning.schedule_maintenance(fleet, peaks)
+        mask = planning.maintenance_mask(fleet)
+        # no maintenance capacity removed during the stressed weeks
+        removed = (mask * fleet.capacity[None, :]).sum(axis=1)
+        assert removed[20:30].sum() == 0
+        # every unit with maint_weeks > 0 got scheduled
+        assert (fleet.maint_start[fleet.maint_weeks > 0] > 0).all()
+
+    def test_mask_durations(self):
+        fleet = planning_elu.demo_planning_fleet()
+        planning.schedule_maintenance(fleet, np.full(52, 800.0))
+        mask = planning.maintenance_mask(fleet)
+        np.testing.assert_array_equal(mask.sum(axis=0), fleet.maint_weeks)
+
+
+class TestELU:
+    def test_generous_limit_keeps_q(self):
+        fleet = planning_elu.demo_planning_fleet(hydro_hours=1e6)
+        load = planning_elu.demo_planning_load(seed=1)
+        planning.iterate_elu(fleet, load, 50.0, 20.0, iters=2)
+        assert fleet.effective_q[4] == pytest.approx(fleet.for_rate[4])
+
+    def test_tight_limit_raises_q(self):
+        fleet = planning_elu.demo_planning_fleet(hydro_hours=50.0)
+        load = planning_elu.demo_planning_load(seed=1)
+        planning.iterate_elu(fleet, load, 50.0, 20.0, iters=3)
+        assert fleet.effective_q[4] > fleet.for_rate[4]
+
+    def test_mc_dispatch_semantics(self):
+        # 1 unlimited 100 MW unit + 1 ELU 50 MW with 2 MWh of energy;
+        # constant 120 MW load, no failures, no maintenance, no LFU:
+        # hours 1-2 served by draining 20 MWh? No: proportional drain uses
+        # 'share of unserved': unserved = 20 -> drain 20/h; energy 2 MWh
+        # lasts 0.1 h -> exhausted after ceil: hour 1 drains 20 (> limit),
+        # so from hour 2 on the ELU is exhausted -> deficit 20.
+        lole_y, hourly = elu_mod.run_elu_mc(
+            jax.random.key(0),
+            jnp.asarray([100.0, 50.0]), jnp.asarray([0.0, 0.0]),
+            jnp.asarray([0, 0]), jnp.asarray([0, 0]),
+            jnp.asarray([jnp.inf, 2.0]),
+            jnp.full((24,), 120.0), 0.0, 4)
+        # hour 0 is covered (energy available), rest in deficit
+        assert float(hourly[0]) == 0.0
+        assert float(hourly[1:].mean()) == 1.0
+        assert float(lole_y.mean()) == 23.0
+
+    def test_var_cvar(self):
+        s = jnp.asarray(np.arange(100, dtype=np.float32))
+        var, cvar = elu_mod.var_cvar(s, 0.95)
+        assert float(var) == 94.0
+        assert float(cvar) == pytest.approx(np.mean([94, 95, 96, 97, 98, 99]))
+
+
+class TestPlanningStudies:
+    def test_analytical_vs_mc_generous_elu(self):
+        # The MCvsMarkovProcess "600 h of water" configuration must meet
+        # the reference's own <20% agreement gate (jl:330-335).
+        fleet = planning_elu.demo_planning_fleet(hydro_hours=600.0)
+        load = planning_elu.demo_planning_load(seed=3)
+        res = planning_elu.run_elu_comparison(fleet, load, mc_years=400,
+                                              seed=4)
+        assert res.analytical_lole > 0
+        assert res.success, (res.analytical_lole, res.mc_lole)
+
+    def test_tail_risk_mc_exceeds_analytical(self):
+        # tail_risk.jl's 50-hour water shortage: sequential energy
+        # exhaustion produces more risk than the effective-q analytical
+        # approximation captures -> MC mean above analytical, heavy tail.
+        res = planning_elu.run_tail_risk_study(mc_years=300, seed=5)
+        assert res.mc_lole > res.analytical_lole
+        assert res.cvar95 >= res.var95 >= res.mc_lole
+
+
+class TestMultiArea:
+    def test_interconnection_helps(self):
+        res = multiarea_demo.run_demo(n_years=20, seed=1, hours=2000)
+        iso = res[multiarea.ISOLATED]
+        inter = res[multiarea.INTERCONNECTED]
+        for a in range(2):
+            assert inter["eue"][a] <= iso["eue"][a] + 1e-6
+        assert sum(inter["eue"]) < sum(iso["eue"])
+
+    def test_flow_conservation_cases(self):
+        m = jnp.asarray([[-5.0, 3.0, 4.0]])
+        tf = jnp.asarray([0, 1], jnp.int32)
+        tt = jnp.asarray([1, 2], jnp.int32)
+        # chain 0-1-2 with big caps: area 0 can import from both
+        out = multiarea.solve_curtailment(m, tf, tt,
+                                          jnp.asarray([10.0, 10.0]))
+        assert float(out[0, 0]) == pytest.approx(0.0, abs=1e-3)
+        # tie caps 1 each: only 1 MW reaches area 0 (0-1 link binds)
+        out = multiarea.solve_curtailment(m, tf, tt,
+                                          jnp.asarray([1.0, 1.0]))
+        assert float(out[0, 0]) == pytest.approx(4.0, abs=1e-2)
+
+
+class TestHL1Comparison:
+    def test_three_engines_agree(self):
+        gens = hl1_comparison.demo_fleet()
+        load = hl1_comparison.sinusoidal_load(seed=2)
+        ana = hl1_comparison.run_analytical(gens, load)
+        nsq = hl1_comparison.run_non_sequential_mc(gens, load, 4000, seed=2)
+        seq = hl1_comparison.run_sequential_mc(gens, load, 300, seed=3)
+        assert nsq.lole_hours_yr == pytest.approx(ana.lole_hours_yr,
+                                                  rel=0.25)
+        assert seq.lole_hours_yr == pytest.approx(ana.lole_hours_yr,
+                                                  rel=0.3)
+        table = hl1_comparison.compare_results([ana, nsq, seq])
+        assert "Analytical" in table and "Sequential MC" in table
+
+
+class TestEducational:
+    def test_exponential_proof(self):
+        times, t, pdf = markov_education.exponential_proof(1000.0, 20000)
+        # empirical mean of geometric(p01) ~ discrete exponential mean
+        assert np.mean(times) == pytest.approx(1000.0, rel=0.1)
+
+    def test_single_component(self):
+        s = markov_education.single_component_study()
+        assert s.prob_down_analytical[-1] == pytest.approx(
+            s.steady_state, rel=0.05)
+        assert set(np.unique(s.mc_realization)) <= {0, 1}
+
+    def test_capacity_series(self):
+        cap, total = markov_education.multi_unit_capacity_series()
+        assert total == 600.0
+        assert cap.max() <= total
+        assert cap.min() >= 0
+
+    def test_estimation(self):
+        s = markov_education.parameter_estimation_study()
+        assert s.running_lambda[-1] == pytest.approx(s.true_lambda, rel=0.1)
