@@ -1,0 +1,111 @@
+"""Command-line interface: ``python -m powersystemsreliabilityassessment_tpu``.
+
+Runs the five study configurations (BASELINE.json):
+
+  nsq         HL2 non-sequential MCS (nsqMain path)
+  seq         HL2 sequential chronological MCS (seqMain path)
+  hl1         HL1 three-engine comparison (run_full_comparison path)
+  planning    analytical planning + ELU comparison + tail risk
+  multiarea   two-area ISOLATED vs INTERCONNECTED comparison
+  bench       throughput benchmark
+"""
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(prog="powersystemsreliabilityassessment_tpu")
+    sub = p.add_subparsers(dest="study", required=True)
+
+    nsq = sub.add_parser("nsq")
+    nsq.add_argument("--case", default="rts24")
+    nsq.add_argument("--samples", type=int, default=100_000)
+    nsq.add_argument("--batch", type=int, default=2000)
+    nsq.add_argument("--beta", type=float, default=0.0017)
+    nsq.add_argument("--seed", type=int, default=0)
+    nsq.add_argument("--out", default="results")
+    nsq.add_argument("--checkpoint", default=None)
+
+    seq = sub.add_parser("seq")
+    seq.add_argument("--case", default="rts24")
+    seq.add_argument("--years", type=int, default=4000)
+    seq.add_argument("--cov", type=float, default=0.05)
+    seq.add_argument("--seed", type=int, default=0)
+    seq.add_argument("--out", default="results")
+    seq.add_argument("--checkpoint", default=None)
+
+    hl1 = sub.add_parser("hl1")
+    hl1.add_argument("--iterations", type=int, default=5000)
+    hl1.add_argument("--years", type=int, default=500)
+
+    pl = sub.add_parser("planning")
+    pl.add_argument("--mc-years", type=int, default=1000)
+    pl.add_argument("--hydro-hours", type=float, default=600.0)
+
+    ma = sub.add_parser("multiarea")
+    ma.add_argument("--years", type=int, default=100)
+
+    sub.add_parser("bench")
+
+    args = p.parse_args()
+
+    if args.study == "nsq":
+        from powersystemsreliabilityassessment_tpu.core import cases
+        from powersystemsreliabilityassessment_tpu.runtime.checkpoint import (
+            Checkpointer)
+        from powersystemsreliabilityassessment_tpu.studies.hl2_nsq import (
+            run_nsq_study)
+        from powersystemsreliabilityassessment_tpu.utils import report
+        from powersystemsreliabilityassessment_tpu.utils.config import MCSConfig
+        case = getattr(cases, args.case)()
+        ck = Checkpointer(args.checkpoint) if args.checkpoint else None
+        res = run_nsq_study(case, MCSConfig(
+            batch_size=args.batch, max_samples=args.samples,
+            beta_limit=args.beta, seed=args.seed), checkpointer=ck)
+        report.export_study(res, args.out, "nsq")
+        report.plot_nsq(res, f"{args.out}/convergence.png", args.beta)
+        report.plot_nodal_and_weakpoints(
+            res.nodal_eens_mwh_yr, res.comp_importance, case.n_gen,
+            f"{args.out}/nodal_reliability.png")
+        print(json.dumps({"edns": res.edns_mw, "lole": res.lole_hr_yr,
+                          "plc": res.plc, "beta": res.beta}))
+    elif args.study == "seq":
+        from powersystemsreliabilityassessment_tpu.core import cases
+        from powersystemsreliabilityassessment_tpu.runtime.checkpoint import (
+            Checkpointer)
+        from powersystemsreliabilityassessment_tpu.studies.hl2_seq import (
+            run_seq_study)
+        from powersystemsreliabilityassessment_tpu.utils import report
+        from powersystemsreliabilityassessment_tpu.utils.config import MCSConfig
+        case = getattr(cases, args.case)()
+        ck = Checkpointer(args.checkpoint) if args.checkpoint else None
+        res = run_seq_study(case, MCSConfig(
+            max_years=args.years, cov_threshold=args.cov, seed=args.seed),
+            checkpointer=ck)
+        report.export_study(res, args.out, "seq")
+        report.plot_seq(res, f"{args.out}/convergence_curve.png", args.cov,
+                        case.n_gen)
+        print(json.dumps({"eens": res.eens_mwh_yr, "lole": res.lole_hr_yr,
+                          "lolf": res.lolf_occ_yr, "years": res.years}))
+    elif args.study == "hl1":
+        from powersystemsreliabilityassessment_tpu.studies import hl1_comparison
+        hl1_comparison.run_full_comparison(args.iterations, args.years)
+    elif args.study == "planning":
+        from powersystemsreliabilityassessment_tpu.studies import planning_elu
+        from powersystemsreliabilityassessment_tpu.utils import report
+        fleet = planning_elu.demo_planning_fleet(args.hydro_hours)
+        res = planning_elu.run_elu_comparison(fleet, mc_years=args.mc_years)
+        print(json.dumps(res.to_dict()))
+        report.plot_tail_risk(res, "results/tail_risk.png")
+    elif args.study == "multiarea":
+        from powersystemsreliabilityassessment_tpu.studies import multiarea_demo
+        multiarea_demo.run_demo(args.years)
+    elif args.study == "bench":
+        import runpy
+        runpy.run_path("bench.py", run_name="__main__")
+
+
+if __name__ == "__main__":
+    main()
