@@ -37,6 +37,7 @@ reference identity DNS = Result.f + total_load (mc_simulation.m:54).
 """
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 from typing import NamedTuple
 
@@ -117,6 +118,47 @@ def build_state_lp(sys: System, gen_up: jax.Array, br_up: jax.Array,
         jnp.full((nb,), theta_max, dt),
     ])
     return c, A, b, l, u
+
+
+def connected_to_ref(sys: System, br_up: jax.Array) -> jax.Array:
+    """[B, nb] bool: bus is in the reference bus (bus 0) island.
+
+    Boolean reachability by repeated squaring of the in-service adjacency
+    matrix (5 squarings cover path length 32 > any bus count here) — all
+    batched matmuls, no data-dependent control flow.
+    """
+    nb, nl = sys.n_bus, sys.n_branch
+    dt = sys.bus_pd.dtype
+    e_from = sys.incidence > 0       # [nl, nb] one-hot from-bus
+    e_to = sys.incidence < 0
+    pair = (e_from.astype(dt)[:, :, None] * e_to.astype(dt)[:, None, :])
+    pair = pair + jnp.swapaxes(pair, 1, 2)       # [nl, nb, nb] symmetric
+    adj = jnp.eye(nb, dtype=dt) + jnp.einsum("bl,lij->bij", br_up, pair)
+    reach = jnp.minimum(adj, 1.0)
+    for _ in range(5):
+        reach = jnp.minimum(reach @ reach, 1.0)
+    return reach[:, 0, :] > 0.5
+
+
+def apply_island_blackout(sys: System, comp_down: jax.Array,
+                          load_pu: jax.Array):
+    """Compat transform: disconnected loads are shed outright, disconnected
+    generators become unavailable. Returns (comp_down', load_pu',
+    islanded_nodal_mw [B, nb])."""
+    ng = sys.n_gen
+    br_up = 1.0 - comp_down[:, ng:].astype(sys.bus_pd.dtype)
+    reach = connected_to_ref(sys, br_up)                   # [B, nb]
+    load_reach = jnp.take_along_axis(
+        reach, jnp.broadcast_to(sys.load_bus_index[None, :],
+                                (reach.shape[0], sys.n_load)), axis=1)
+    gen_reach = jnp.take_along_axis(
+        reach, jnp.broadcast_to(
+            jnp.argmax(sys.gen_bus_onehot, axis=0)[None, :],
+            (reach.shape[0], ng)), axis=1)
+    comp_down = comp_down.at[:, :ng].set(comp_down[:, :ng] | ~gen_reach)
+    shed_pu = jnp.where(load_reach, 0.0, load_pu)
+    nodal = (shed_pu * sys.base_mva) @ sys.load_onehot.T
+    return comp_down, jnp.where(load_reach, load_pu, 0.0), nodal
 
 
 def certify_states(sys: System, comp_down: jax.Array, load_pu: jax.Array,
@@ -229,9 +271,21 @@ def evaluate_states(sys: System, comp_down: jax.Array, load_pu: jax.Array,
     Returns MW quantities with the reference's noise thresholds applied
     (mc_simulation.m:57-59, :86).
     """
+    extra_nodal = None
+    if compat.island_blackout:
+        comp_down, load_pu, extra_nodal = apply_island_blackout(
+            sys, comp_down, load_pu)
     shed, pg, res = jax.vmap(
         lambda s, d: _solve_one(sys, s, d, compat, ipm))(comp_down, load_pu)
-    return _finalize(sys, compat, shed, pg, res, comp_down, load_pu)
+    out = _finalize(sys, compat, shed, pg, res, comp_down, load_pu)
+    if extra_nodal is not None:
+        dns = out.dns_mw + jnp.sum(extra_nodal, axis=1)
+        nodal = out.nodal_mw + extra_nodal
+        dns = jnp.where(dns < compat.dns_noise_floor_mw, 0.0, dns)
+        out = out._replace(
+            dns_mw=dns, nodal_mw=nodal,
+            failure=dns > compat.nsq_fail_flag_threshold_mw)
+    return out
 
 
 @partial(jax.jit, static_argnames=("compat", "ipm", "max_lp"))
@@ -254,6 +308,11 @@ def evaluate_states_screened(sys: System, comp_down: jax.Array,
     tiny, logged perturbation; pick ``max_lp`` so this is ~never hit).
     """
     B = comp_down.shape[0]
+    extra_nodal = None
+    if compat.island_blackout:
+        comp_down, load_pu, extra_nodal = apply_island_blackout(
+            sys, comp_down, load_pu)
+        compat = dataclasses.replace(compat, island_blackout=False)
     pre = certify_states(sys, comp_down, load_pu)
     zero_cert = pre.certified & (pre.deficit <= 0)
     need_lp = ~zero_cert
@@ -276,6 +335,10 @@ def evaluate_states_screened(sys: System, comp_down: jax.Array,
     nodal = nodal.at[idx].set(jnp.where(vcol, sub_res.nodal_mw, nodal[idx]))
     pg = pg.at[idx].set(jnp.where(vcol, sub_res.gen_dispatch, pg[idx]))
     res = res0.at[idx].set(jnp.where(valid, sub_res.primal_residual, 0.0))
+
+    if extra_nodal is not None:
+        dns = dns + jnp.sum(extra_nodal, axis=1)
+        nodal = nodal + extra_nodal
 
     dns = jnp.where(dns < compat.dns_noise_floor_mw, 0.0, dns)
     nodal = jnp.where(

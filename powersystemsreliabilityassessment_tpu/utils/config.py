@@ -34,6 +34,12 @@ class CompatFlags:
     # anloducurve.m:39 nonstandard weekday formula ("reference") vs
     # conventional calendar ("calendar").
     weekday_mode: str = "reference"
+    # Treat load buses disconnected from the reference bus as fully shed
+    # (and their generators as unusable). Default False = islands are
+    # solved physically (per-island balance emerges from the B-theta LP).
+    # True approximates the reference's accidental behavior on islanded
+    # states (MATPOWER cannot represent a second island; see PARITY.md).
+    island_blackout: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -171,3 +171,31 @@ class TestDCOPF:
         res = dcopf.evaluate_states(sys24, jnp.asarray(down),
                                     jnp.asarray(loads), COMPAT, IPM)
         assert float(res.dns_mw[0]) == 0.0
+
+
+class TestIslandBlackout:
+    def test_compat_flag_sheds_island(self, sys24):
+        import dataclasses as dc
+        compat_ib = dc.replace(COMPAT, island_blackout=True)
+        down = np.zeros((2, 71), bool)
+        down[0, 33 + 10] = True   # line 7-8 out -> bus 7 islands
+        loads = _peak_loads(sys24, 2)
+        res = dcopf.evaluate_states(sys24, jnp.asarray(down),
+                                    jnp.asarray(loads), compat_ib, IPM)
+        # island blackout: bus-7 load (125 MW) recorded as shed
+        assert float(res.dns_mw[0]) == pytest.approx(125.0, abs=1.0)
+        assert float(res.nodal_mw[0, 6]) == pytest.approx(125.0, abs=1.0)
+        # intact state unaffected
+        assert float(res.dns_mw[1]) == 0.0
+        # default physics: no shed
+        res0 = dcopf.evaluate_states(sys24, jnp.asarray(down),
+                                     jnp.asarray(loads), COMPAT, IPM)
+        assert float(res0.dns_mw[0]) == 0.0
+
+    def test_connectivity(self, sys24):
+        br_up = np.ones((2, 38), np.float32)
+        br_up[1, 10] = 0.0
+        reach = dcopf.connected_to_ref(sys24, jnp.asarray(br_up))
+        assert bool(reach[0].all())
+        assert not bool(reach[1, 6])       # bus 7 cut off
+        assert bool(reach[1, [0, 1, 2, 7, 23]].all())
