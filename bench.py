@@ -35,8 +35,8 @@ def main() -> None:
     case = cases.rts24()
     sys = build_system(case, compat)
 
-    batch = 4096
-    max_lp = batch // 4
+    batch = 16384
+    max_lp = 2560  # ~16% LP buffer vs ~9-10% need rate at peak load
 
     @jax.jit
     def step(key):
@@ -51,7 +51,7 @@ def main() -> None:
     out = step(key)
     jax.block_until_ready(out)
 
-    n_iters = 20
+    n_iters = 30
     t0 = time.perf_counter()
     total_dns = 0.0
     for i in range(n_iters):

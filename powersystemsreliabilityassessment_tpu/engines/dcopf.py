@@ -236,6 +236,32 @@ def _solve_one(sys: System, comp_down: jax.Array, load_pu: jax.Array,
     return shed, sol.x[:ng], sol.primal_residual
 
 
+def _solve_batch(sys: System, comp_down: jax.Array, load_pu: jax.Array,
+                 compat: CompatFlags, ipm: IPMConfig):
+    """Batched-native LP path (Pallas kernels on TPU; padded to 128 lanes)."""
+    from powersystemsreliabilityassessment_tpu.engines import lp_ipm_batched
+    from powersystemsreliabilityassessment_tpu.ops.batched_chol import LANES
+
+    ng, nd, nl = sys.n_gen, sys.n_load, sys.n_branch
+    B = comp_down.shape[0]
+    pad = (-B) % LANES if jax.default_backend() == "tpu" else 0
+    if pad:
+        comp_down = jnp.concatenate(
+            [comp_down, jnp.zeros((pad, comp_down.shape[1]),
+                                  comp_down.dtype)], axis=0)
+        load_pu = jnp.concatenate(
+            [load_pu, jnp.broadcast_to(load_pu[:1], (pad, nd))], axis=0)
+
+    up = 1.0 - comp_down.astype(sys.bus_pd.dtype)
+    c, A, b, l, u = jax.vmap(
+        lambda gu, bu, ld: build_state_lp(sys, gu, bu, ld, compat,
+                                          ipm.theta_max))(
+        up[:, :ng], up[:, ng:ng + nl], load_pu)
+    sol = lp_ipm_batched.solve_box_lp_batched(c, A, b, l, u, ipm)
+    shed = sol.x[:B, ng:ng + nd]
+    return shed, sol.x[:B, :ng], sol.primal_residual[:B]
+
+
 def _finalize(sys: System, compat: CompatFlags, shed, pg, res, comp_down,
               load_pu) -> EvalResult:
     """Apply the exactness certificate and the reference noise thresholds."""
@@ -275,8 +301,7 @@ def evaluate_states(sys: System, comp_down: jax.Array, load_pu: jax.Array,
     if compat.island_blackout:
         comp_down, load_pu, extra_nodal = apply_island_blackout(
             sys, comp_down, load_pu)
-    shed, pg, res = jax.vmap(
-        lambda s, d: _solve_one(sys, s, d, compat, ipm))(comp_down, load_pu)
+    shed, pg, res = _solve_batch(sys, comp_down, load_pu, compat, ipm)
     out = _finalize(sys, compat, shed, pg, res, comp_down, load_pu)
     if extra_nodal is not None:
         dns = out.dns_mw + jnp.sum(extra_nodal, axis=1)

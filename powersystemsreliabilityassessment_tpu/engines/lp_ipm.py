@@ -67,14 +67,13 @@ def solve_box_lp(c, A, b, l, u, cfg: IPMConfig = IPMConfig()) -> LPSolution:
         dynamic range of the late-phase normal matrix only after its rows
         and columns are rescaled to unit diagonal. If the factorization
         still breaks down (returns NaN — jnp.linalg.cholesky never raises),
-        fall back to a heavily regularized factorization: a damped Newton
-        step beats a rejected one."""
+        the downstream non-finite-step guard freezes the lane at its
+        best-so-far iterate; a fallback refactorization is NOT worth it —
+        batched Cholesky is the solver's single most expensive op, and
+        under vmap any per-lane retry would be paid by every lane."""
         s = jax.lax.rsqrt(jnp.maximum(jnp.diagonal(M), 1e-30))
         Ms = M * s[:, None] * s[None, :]
-        chol = jnp.linalg.cholesky(Ms + delta * eye_m)
-        fallback = jnp.linalg.cholesky(Ms + 1e-3 * eye_m)
-        bad = ~jnp.all(jnp.isfinite(chol))
-        return jnp.where(bad, fallback, chol), s
+        return jnp.linalg.cholesky(Ms + delta * eye_m), s
 
     def chol_solve(chol_s, rhs):
         chol, s = chol_s

@@ -1,0 +1,234 @@
+"""Batched-native interior-point LP solver (the TPU production path).
+
+Same algorithm and safeguards as :mod:`.lp_ipm` (Mehrotra predictor-
+corrector with late-phase centering, iterate freezing, best-iterate
+tracking, crossover polish) but written with an explicit leading batch
+axis instead of ``vmap``, so the two hot dense-linear-algebra primitives
+can be routed to the Pallas batch-minor kernels in
+:mod:`..ops.batched_chol` (~200x faster than XLA's batched Cholesky at
+these sizes on TPU; falls back to XLA off-TPU).
+
+The crossover polish solves ``(W + A'A) x = rhs`` with diagonal W via the
+Woodbury identity, so the only factorizations anywhere are m x m (62 for
+RTS-24) and run through the same kernel:
+    (W + A'A)^-1 = W^-1 - W^-1 A' (I_m + A W^-1 A')^-1 A W^-1.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from powersystemsreliabilityassessment_tpu.ops import batched_chol as bc
+from powersystemsreliabilityassessment_tpu.utils.config import IPMConfig
+
+
+class LPBatchSolution(NamedTuple):
+    x: jax.Array                # [B, n]
+    objective: jax.Array        # [B]
+    primal_residual: jax.Array  # [B]
+    duality_gap: jax.Array      # [B]
+
+
+def _pos(a, eps=1e-12):
+    return jnp.maximum(a, eps)
+
+
+def _use_pallas(batch: int) -> bool:
+    return (jax.default_backend() == "tpu") and (batch % bc.LANES == 0)
+
+
+def _make_chol_ops(batch: int):
+    """Returns (factor, solve) closing over the backend choice."""
+    if _use_pallas(batch):
+        def factor(M):
+            return bc.cholesky_bm(bc.to_batch_minor(M))
+
+        def solve(Lt, r):
+            return bc.from_batch_minor(
+                bc.cho_solve_bm(Lt, bc.to_batch_minor(r)))
+    else:
+        def factor(M):
+            return jnp.linalg.cholesky(M)
+
+        def solve(L, r):
+            return jax.vmap(lambda LL, rr: jax.scipy.linalg.cho_solve(
+                (LL, True), rr))(L, r)
+    return factor, solve
+
+
+def solve_box_lp_batched(c, A, b, l, u,
+                         cfg: IPMConfig = IPMConfig()) -> LPBatchSolution:
+    """Solve a batch of LPs: min c'x s.t. Ax=b, l<=x<=u.
+
+    Shapes: c,l,u [B,n]; A [B,m,n]; b [B,m].
+    """
+    dtype = jnp.dtype(cfg.dtype)
+    c, A, b = c.astype(dtype), A.astype(dtype), b.astype(dtype)
+    l, u = l.astype(dtype), u.astype(dtype)
+    B, m, n = A.shape
+
+    factor, chol_solve = _make_chol_ops(B)
+
+    width = u - l
+    margin = 1e-9 * _pos(width)
+    delta = jnp.asarray(cfg.regularization, dtype)
+    tau = jnp.asarray(cfg.tau, dtype)
+    eye_m = jnp.eye(m, dtype=dtype)
+    At = jnp.swapaxes(A, 1, 2)
+
+    def bdot(p, q):  # [B,n],[B,n] -> [B]
+        return jnp.sum(p * q, axis=-1)
+
+    def mv(M_, v):   # [B,m,n],[B,n] -> [B,m]
+        return jnp.einsum("bmn,bn->bm", M_, v)
+
+    def equilibrated_chol(M):
+        diag = jnp.diagonal(M, axis1=1, axis2=2)
+        s = jax.lax.rsqrt(jnp.maximum(diag, 1e-30))      # [B,m]
+        Ms = M * s[:, :, None] * s[:, None, :] + delta * eye_m
+        return factor(Ms), s
+
+    def eq_solve(chol_s, rhs):
+        chol, s = chol_s
+        return s * chol_solve(chol, s * rhs)
+
+    # Constant-through-iterations factorization for primal re-projection.
+    chol_aat = equilibrated_chol(A @ At)
+
+    def project(x):
+        return x + jnp.einsum(
+            "bmn,bm->bn", A, eq_solve(chol_aat, b - mv(A, x)))
+
+    x0 = 0.5 * (l + u)
+    y0 = jnp.zeros((B, m), dtype)
+    z0 = jnp.ones((B, n), dtype)
+
+    def newton_step(d, sl, su, zl, zu, rd, rp, rcl, rcu, chol_s):
+        rhat = rd - rcl / sl + rcu / su                   # [B,n]
+        rhs = rp + mv(A, rhat / d)                        # [B,m]
+        dy = eq_solve(chol_s, rhs)
+        dx = (jnp.einsum("bmn,bm->bn", A, dy) - rhat) / d
+        dzl = (rcl - zl * dx) / sl
+        dzu = (rcu + zu * dx) / su
+        return dx, dy, dzl, dzu
+
+    def max_step(sl, su, zl, zu, dx, dzl, dzu):
+        big = jnp.asarray(1e30, dtype)
+        ap = jnp.minimum(
+            jnp.min(jnp.where(dx < 0, -sl / jnp.minimum(dx, -1e-30), big),
+                    axis=-1),
+            jnp.min(jnp.where(dx > 0, su / jnp.maximum(dx, 1e-30), big),
+                    axis=-1))
+        ad = jnp.minimum(
+            jnp.min(jnp.where(dzl < 0, -zl / jnp.minimum(dzl, -1e-30), big),
+                    axis=-1),
+            jnp.min(jnp.where(dzu < 0, -zu / jnp.minimum(dzu, -1e-30), big),
+                    axis=-1))
+        return (jnp.minimum(tau * ap, 1.0)[:, None],
+                jnp.minimum(tau * ad, 1.0)[:, None])
+
+    def body(_, state):
+        x, y, zl, zu, done, best_score, best_x = state
+        sl = _pos(x - l)
+        su = _pos(u - x)
+        rp = b - mv(A, x)
+        rd = c - jnp.einsum("bmn,bm->bn", A, y) - zl + zu
+        mu = (bdot(sl, zl) + bdot(su, zu)) / (2 * n)      # [B]
+
+        score = mu + jnp.max(jnp.abs(rp), axis=-1)
+        better = score < best_score
+        best_score = jnp.where(better, score, best_score)
+        best_x = jnp.where(better[:, None], x, best_x)
+
+        done = done | (mu < cfg.mu_tol)
+
+        d = jnp.clip(zl / sl + zu / su, 1e-6, 1e10)
+        G = A * jax.lax.rsqrt(d)[:, None, :]
+        chol_s = equilibrated_chol(G @ jnp.swapaxes(G, 1, 2))
+
+        centering = (mu < cfg.center_tol)[:, None]
+
+        dxa, dya, dzla, dzua = newton_step(
+            d, sl, su, zl, zu, rd, rp, -sl * zl, -su * zu, chol_s)
+        apa, ada = max_step(sl, su, zl, zu, dxa, dzla, dzua)
+        mu_aff = (bdot(sl + apa * dxa, zl + ada * dzla)
+                  + bdot(su - apa * dxa, zu + ada * dzua)) / (2 * n)
+        sigma = jnp.where(
+            centering[:, 0], 0.5,
+            jnp.clip((mu_aff / _pos(mu)) ** 3, 0.0, 1.0))[:, None]
+        gate = jnp.where(centering, 0.0, 1.0)
+
+        rcl = sigma * mu[:, None] - sl * zl - gate * dxa * dzla
+        rcu = sigma * mu[:, None] - su * zu + gate * dxa * dzua
+        dx, dy, dzl, dzu = newton_step(
+            d, sl, su, zl, zu, rd, rp, rcl, rcu, chol_s)
+        ap, ad = max_step(sl, su, zl, zu, dx, dzl, dzu)
+        damp = jnp.where(centering, 0.9, 1.0)
+        ap = damp * ap
+        ad = damp * ad
+
+        xn = jnp.clip(x + ap * dx, l + margin, u - margin)
+        yn = y + ad * dy
+        zln = _pos(zl + ad * dzl)
+        zun = _pos(zu + ad * dzu)
+
+        finite = (jnp.all(jnp.isfinite(xn), axis=-1)
+                  & jnp.all(jnp.isfinite(yn), axis=-1)
+                  & jnp.all(jnp.isfinite(zln), axis=-1)
+                  & jnp.all(jnp.isfinite(zun), axis=-1))
+        keep = (done | ~finite)[:, None]
+        done = done | ~finite
+        x = jnp.where(keep, x, xn)
+        y = jnp.where(keep, y, yn)
+        zl = jnp.where(keep, zl, zln)
+        zu = jnp.where(keep, zu, zun)
+        return (x, y, zl, zu, done, best_score, best_x)
+
+    state = (x0, y0, z0, z0, jnp.zeros((B,), bool),
+             jnp.full((B,), jnp.inf, dtype), x0)
+    x, y, zl, zu, _, best_score, best_x = jax.lax.fori_loop(
+        0, cfg.iterations, body, state)
+
+    # Final candidate vs best-ever, then one projection polish.
+    sl = _pos(x - l)
+    su = _pos(u - x)
+    rp_f = b - mv(A, x)
+    mu_f = (bdot(sl, zl) + bdot(su, zu)) / (2 * n)
+    score_f = mu_f + jnp.max(jnp.abs(rp_f), axis=-1)
+    x = jnp.where((score_f <= best_score)[:, None], x, best_x)
+    x = jnp.clip(project(x), l, u)
+
+    # Crossover polish via Woodbury (only m x m factorizations).
+    snap_tol = 1e-3 * width
+    at_l = (x - l) < snap_tol
+    at_u = (u - x) < snap_tol
+    target = jnp.where(at_l, l, jnp.where(at_u, u, x))
+    w = jnp.where(at_l | at_u, 1e2, 1e-4)
+    rhs = jnp.einsum("bmn,bm->bn", A, b) + w * target
+    winv = 1.0 / w
+    # (W + A'A)^-1 rhs = W^-1 rhs - W^-1 A' (I + A W^-1 A')^-1 A W^-1 rhs
+    K = (A * winv[:, None, :]) @ At + eye_m
+    cholK = equilibrated_chol(K)
+    t1 = winv * rhs
+    t2 = eq_solve(cholK, mv(A, t1))
+    xp = t1 - winv * jnp.einsum("bnm,bm->bn", At, t2)
+    xp = jnp.clip(project(xp), l, u)
+    ok = (jnp.all(jnp.isfinite(xp), axis=-1)
+          & (jnp.max(jnp.abs(mv(A, xp) - b), axis=-1)
+             <= jnp.max(jnp.abs(mv(A, x) - b), axis=-1) + 1e-5)
+          & (bdot(c, xp) <= bdot(c, x)))
+    x = jnp.where(ok[:, None], xp, x)
+
+    rp = b - mv(A, x)
+    sl = _pos(x - l)
+    su = _pos(u - x)
+    mu = (bdot(sl, zl) + bdot(su, zu)) / (2 * n)
+    return LPBatchSolution(
+        x=x,
+        objective=bdot(c, x),
+        primal_residual=jnp.max(jnp.abs(rp), axis=-1),
+        duality_gap=mu,
+    )
