@@ -57,9 +57,8 @@ def curtail_isolated(margins: jax.Array) -> jax.Array:
     return jnp.maximum(-margins, 0.0)
 
 
-def _interconnect_lp(margins, tie_from, tie_to, tie_cap, big,
-                     ipm: IPMConfig):
-    """Solve one interconnected-curtailment LP instance."""
+def _build_interconnect_lp(margins, tie_from, tie_to, tie_cap, big):
+    """Assemble one interconnected-curtailment LP instance (vmapped)."""
     A_areas = margins.shape[0]
     T = tie_cap.shape[0]
     dt = margins.dtype
@@ -87,12 +86,7 @@ def _interconnect_lp(margins, tie_from, tie_to, tie_cap, big,
     l = jnp.zeros((2 * T + 2 * A_areas,), dt)
     u = jnp.concatenate([tie_cap, tie_cap, curtail_cap,
                          jnp.full((A_areas,), big, dt)])
-    sol = lp_ipm.solve_box_lp(c, Amat, b, l, u, ipm)
-    # Exact repair: with the LP's (near-optimal) tie flows fixed, the
-    # per-area curtailment is the closed-form deficit of the netted
-    # margins, removing the f32 interior-point gap.
-    net = margins + Amat[:, : 2 * T] @ sol.x[: 2 * T]
-    return jnp.maximum(-net, 0.0)
+    return c, Amat, b, l, u
 
 
 @partial(jax.jit, static_argnames=("policy", "ipm"))
@@ -101,11 +95,26 @@ def solve_curtailment(margins: jax.Array, tie_from: jax.Array,
                       policy: str = INTERCONNECTED,
                       ipm: IPMConfig = IPMConfig(iterations=20)) -> jax.Array:
     """Batched minimum curtailment [B, A] for per-area margins [B, A]."""
+    from powersystemsreliabilityassessment_tpu.engines import lp_ipm_batched
+    from powersystemsreliabilityassessment_tpu.ops.batched_chol import LANES
+
     if policy == ISOLATED:
         return curtail_isolated(margins)
+    B, A_areas = margins.shape
+    T = tie_cap.shape[0]
+    pad = (-B) % LANES if jax.default_backend() == "tpu" else 0
+    marg_p = (jnp.concatenate([margins, jnp.ones((pad, A_areas),
+                                                 margins.dtype)])
+              if pad else margins)
     big = jnp.maximum(jnp.max(jnp.abs(margins)), 1.0) * 2.0
-    out = jax.vmap(lambda m: _interconnect_lp(
-        m, tie_from, tie_to, tie_cap, big, ipm))(margins)
+    c, Am, b, l, u = jax.vmap(lambda m: _build_interconnect_lp(
+        m, tie_from, tie_to, tie_cap, big))(marg_p)
+    sol = lp_ipm_batched.solve_box_lp_batched(c, Am, b, l, u, ipm)
+    # Exact repair: with the LP's (near-optimal) tie flows fixed, the
+    # per-area curtailment is the closed-form deficit of the netted
+    # margins, removing the f32 interior-point gap.
+    flows = jnp.einsum("bat,bt->ba", Am[:B, :, : 2 * T], sol.x[:B, : 2 * T])
+    out = jnp.maximum(-(margins + flows), 0.0)
     # fast path: no deficit anywhere -> exactly zero
     any_deficit = jnp.any(margins < 0, axis=1, keepdims=True)
     return jnp.where(any_deficit, out, 0.0)
