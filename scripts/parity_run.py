@@ -125,9 +125,9 @@ def main():
     lines += ["", "MC-noise note: both runs are independent Monte Carlo "
               "estimates; agreement is expected within the runs' CoV "
               "(NSQ beta ~1.5%, SEQ CoV 5%)."]
-    with open("PARITY.md", "w") as f:
+    with open("PARITY_TABLES.md", "w") as f:
         f.write("\n".join(lines) + "\n")
-    print("wrote PARITY.md")
+    print("wrote PARITY_TABLES.md (PARITY.md holds the curated analysis)")
 
 
 if __name__ == "__main__":
