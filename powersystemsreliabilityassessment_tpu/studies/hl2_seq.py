@@ -41,11 +41,13 @@ from powersystemsreliabilityassessment_tpu.utils.config import (
 
 def _year_eval(sys: System, compat: CompatFlags, ipm: IPMConfig,
                factors: jax.Array, hours: int, n_draws: int, max_lp: int,
-               key: jax.Array):
+               maint_down: jax.Array | None, key: jax.Array):
     """Evaluate ONE simulated year. Returns annual indices + accumulators."""
     down = chronological.sample_timeline(
         key, sys.mttf, sys.mttr, hours, n_draws)          # [ncomp, H] bool
     down_h = down.T                                       # [H, ncomp]
+    if maint_down is not None:
+        down_h = down_h | maint_down
     load_h = factors[:, None] * sys.load_pd[None, :]      # [H, nd]
 
     res, n_over = dcopf.evaluate_states_screened(
@@ -70,15 +72,17 @@ def _year_eval(sys: System, compat: CompatFlags, ipm: IPMConfig,
 def make_seq_batch_step(sys: System, mesh: Mesh, years_per_device: int,
                         compat: CompatFlags, ipm: IPMConfig,
                         hours: int, n_draws: int, max_lp: int,
-                        factors: np.ndarray):
+                        factors: np.ndarray,
+                        maint_down: np.ndarray | None = None):
     fac = jnp.asarray(factors, sys.bus_pd.dtype)
+    md = None if maint_down is None else jnp.asarray(maint_down)
 
     def device_step(key):
         dev = jax.lax.axis_index(meshlib.SCENARIO_AXIS)
         k = jax.random.fold_in(key, dev)
         keys = jax.random.split(k, years_per_device)
         outs = jax.vmap(lambda kk: _year_eval(
-            sys, compat, ipm, fac, hours, n_draws, max_lp, kk))(keys)
+            sys, compat, ipm, fac, hours, n_draws, max_lp, md, kk))(keys)
         # Per-year vectors are gathered (all years visible on all hosts);
         # scalar accumulators are psum-reduced.
         ens, plc, nlc, dlc, edns, nodal, comp_fail, loss_h, n_over = outs
@@ -128,6 +132,7 @@ def run_seq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
                   years_per_device: int = 4,
                   max_lp: int = 1024,
                   hours: int | None = None,
+                  scheduled_maintenance: bool = False,
                   checkpointer: Checkpointer | None = None,
                   log_every: int = 5) -> SEQResult:
     from powersystemsreliabilityassessment_tpu.parallel.accumulators import AnnualStats
@@ -140,8 +145,32 @@ def run_seq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
         twostate.mean_times(case)[:, 0], twostate.mean_times(case)[:, 1],
         hours)
 
+    maint_down = None
+    if scheduled_maintenance:
+        # Levelized maintenance schedule from the genweeks data
+        # (case24_failrate.m:48-56 — unused by the reference's committed
+        # SEQ code, available here as an explicit option).
+        from powersystemsreliabilityassessment_tpu.engines import planning
+        from powersystemsreliabilityassessment_tpu.engines.planning import (
+            PlanningFleet)
+        fleet = PlanningFleet(
+            names=[f"G{i+1}" for i in range(case.n_gen)],
+            capacity=case.gen_pmax.astype(float),
+            for_rate=np.zeros(case.n_gen),
+            maint_weeks=np.round(case.gen_maint_weeks).astype(int),
+            energy_limit=np.full(case.n_gen, np.inf))
+        # Schedule against the full 52-week profile even when simulating a
+        # truncated horizon (tests).
+        planning.schedule_maintenance(
+            fleet, load_profile.weekly_peaks(
+                load_profile.load_factors(52 * 168, compat.weekday_mode)))
+        wk_mask = planning.maintenance_mask(fleet)        # [52, ng]
+        week_of_hour = np.minimum(np.arange(hours) // 168, 51)
+        maint_down = np.zeros((hours, case.n_comp), bool)
+        maint_down[:, :case.n_gen] = wk_mask[week_of_hour]
+
     step = make_seq_batch_step(sys, mesh, years_per_device, compat, ipm,
-                               hours, n_draws, max_lp, factors)
+                               hours, n_draws, max_lp, factors, maint_down)
     root = jax.random.key(cfg.seed)
 
     stats = AnnualStats()

@@ -91,3 +91,28 @@ class TestStudiesSmoke:
         assert r.years == 16
         assert r.eens_mwh_yr >= 0
         assert r.lolf_occ_yr <= r.lole_hr_yr or r.lole_hr_yr == 0
+
+
+def test_seq_with_maintenance_smoke():
+    from powersystemsreliabilityassessment_tpu.studies.hl2_seq import (
+        run_seq_study)
+    cfg = MCSConfig(max_years=8, cov_threshold=0.0, seed=4)
+    r = run_seq_study(cases.rts24(), cfg, years_per_device=1, max_lp=96,
+                      hours=336, scheduled_maintenance=True, log_every=0)
+    assert r.years == 8
+    assert r.eens_mwh_yr >= 0
+
+
+def test_hl1_rts24_and_scaleup_smoke():
+    from powersystemsreliabilityassessment_tpu.studies import hl1_rts24
+    gens = hl1_rts24.rts24_fleet()
+    assert len(gens) == 32  # sync condenser excluded
+    load = hl1_rts24.rts24_load(1000)
+    from powersystemsreliabilityassessment_tpu.studies import hl1_comparison
+    ana = hl1_comparison.run_analytical(gens, load, step=5.0)
+    assert ana.lole_hours_yr >= 0
+
+    from powersystemsreliabilityassessment_tpu.studies import scaleup
+    out = scaleup.run(case_name="rts24", samples=256, batch_size=128,
+                      antithetic=True)
+    assert out["samples"] >= 256
