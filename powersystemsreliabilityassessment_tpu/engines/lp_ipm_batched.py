@@ -36,13 +36,21 @@ def _pos(a, eps=1e-12):
     return jnp.maximum(a, eps)
 
 
-def _use_pallas(batch: int) -> bool:
-    return (jax.default_backend() == "tpu") and (batch % bc.LANES == 0)
+# VMEM budget: the kernel holds ~3 [m, m, 128] f32 tiles (in, out,
+# scratch); m <= 88 keeps that under the 16 MB VMEM limit. Larger systems
+# fall back to XLA's batched cholesky (a blocked Pallas variant is a
+# planned optimization).
+_PALLAS_MAX_M = 88
 
 
-def _make_chol_ops(batch: int):
+def _use_pallas(batch: int, m: int) -> bool:
+    return (jax.default_backend() == "tpu" and batch % bc.LANES == 0
+            and m <= _PALLAS_MAX_M)
+
+
+def _make_chol_ops(batch: int, m: int):
     """Returns (factor, solve) closing over the backend choice."""
-    if _use_pallas(batch):
+    if _use_pallas(batch, m):
         def factor(M):
             return bc.cholesky_bm(bc.to_batch_minor(M))
 
@@ -70,7 +78,7 @@ def solve_box_lp_batched(c, A, b, l, u,
     l, u = l.astype(dtype), u.astype(dtype)
     B, m, n = A.shape
 
-    factor, chol_solve = _make_chol_ops(B)
+    factor, chol_solve = _make_chol_ops(B, m)
 
     width = u - l
     margin = 1e-9 * _pos(width)

@@ -130,7 +130,7 @@ def run_seq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
                   ipm: IPMConfig = IPMConfig(),
                   mesh: Mesh | None = None,
                   years_per_device: int = 4,
-                  max_lp: int = 1024,
+                  max_lp: int = 256,
                   hours: int | None = None,
                   scheduled_maintenance: bool = False,
                   checkpointer: Checkpointer | None = None,
