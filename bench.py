@@ -53,7 +53,6 @@ def main() -> None:
 
     n_iters = 30
     t0 = time.perf_counter()
-    total_dns = 0.0
     for i in range(n_iters):
         out = step(jax.random.fold_in(key, i))
     jax.block_until_ready(out)

@@ -27,7 +27,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from powersystemsreliabilityassessment_tpu.engines import lp_ipm
 from powersystemsreliabilityassessment_tpu.sampling import chronological
 from powersystemsreliabilityassessment_tpu.utils.config import IPMConfig
 

@@ -100,7 +100,6 @@ def run_nsq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
     mesh = mesh or meshlib.scenario_mesh()
     n_dev = mesh.devices.size
     bpd = max(cfg.batch_size // n_dev, 1)
-    global_batch = bpd * n_dev
 
     step = make_nsq_batch_step(sys, mesh, bpd, compat, ipm,
                                antithetic=cfg.antithetic)
