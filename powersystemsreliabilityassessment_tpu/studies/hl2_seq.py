@@ -117,6 +117,7 @@ class SEQResult:
     eens_history: list
     cov_history: list
     overflow_hours: int
+    annual_ens: list = dataclasses.field(default_factory=list)
 
     def to_dict(self) -> dict[str, Any]:
         d = dataclasses.asdict(self)
@@ -220,4 +221,5 @@ def run_seq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
         eens_history=eens_history,
         cov_history=cov_history,
         overflow_hours=overflow,
+        annual_ens=list(stats.ens),
     )

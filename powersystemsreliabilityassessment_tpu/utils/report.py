@@ -107,9 +107,8 @@ def plot_seq(result, out_path: str, cov_threshold: float = 0.05,
     axes[0, 1].plot(result.cov_history, "r-")
     axes[0, 1].axhline(cov_threshold, color="k", ls="--")
     axes[0, 1].set_title("Convergence of CoV")
-    axes[0, 2].hist(np.asarray(result.eens_history[-1:]) if not hasattr(
-        result, "annual_ens") else np.asarray(result.annual_ens), bins=20,
-        color="0.4")
+    annual = getattr(result, "annual_ens", None) or result.eens_history[-1:]
+    axes[0, 2].hist(np.asarray(annual), bins=20, color="0.4")
     axes[0, 2].set_title("Distribution of Annual EENS")
     axes[1, 0].bar(np.arange(1, len(result.nodal_eens_mwh_yr) + 1),
                    result.nodal_eens_mwh_yr, color="#3399cc")
