@@ -59,7 +59,7 @@ class MCSConfig:
 class IPMConfig:
     """Batched interior-point solver settings (fixed-shape, jit-safe)."""
 
-    iterations: int = 20
+    iterations: int = 16
     tau: float = 0.99               # fraction-to-boundary
     regularization: float = 1e-7    # normal-matrix diagonal shift
     theta_max: float = 6.0          # voltage-angle box, rad

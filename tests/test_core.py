@@ -105,10 +105,15 @@ class TestLoadProfile:
         assert wp.shape == (52,)
         assert wp.max() == pytest.approx(2850.0)
 
-    def test_replicate_case(self):
+    def test_rts96(self):
         c3 = cases.rts96()
         assert c3.n_bus == 72
         assert c3.n_gen == 99
         assert c3.total_load == pytest.approx(3 * 2850.0)
-        # tie lines appended
-        assert c3.n_branch == 3 * 38 + 6
+        # 3x38 in-area branches + the five published inter-area ties
+        assert c3.n_branch == 3 * 38 + 5
+
+    def test_replicate_case(self):
+        c2 = cases.replicate_case(cases.rts24(), 2)
+        assert c2.n_bus == 48
+        assert c2.n_branch == 2 * 38 + 2
