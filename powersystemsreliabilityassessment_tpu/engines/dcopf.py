@@ -313,11 +313,12 @@ def evaluate_states(sys: System, comp_down: jax.Array, load_pu: jax.Array,
     return out
 
 
-@partial(jax.jit, static_argnames=("compat", "ipm", "max_lp"))
+@partial(jax.jit, static_argnames=("compat", "ipm", "max_lp", "nodal_mode"))
 def evaluate_states_screened(sys: System, comp_down: jax.Array,
                              load_pu: jax.Array, max_lp: int,
                              compat: CompatFlags = CompatFlags(),
-                             ipm: IPMConfig = IPMConfig()):
+                             ipm: IPMConfig = IPMConfig(),
+                             nodal_mode: str = "lp"):
     """Screened evaluation: run the LP only on states that need it.
 
     States certified at ZERO deficit are resolved by Tier 1 alone; states
@@ -326,6 +327,14 @@ def evaluate_states_screened(sys: System, comp_down: jax.Array,
     deficit states still get the certificate override for the total, but
     their nodal split comes from the LP's interior solution, matching the
     reference's MIPS behavior on degenerate optima).
+
+    ``nodal_mode="proportional"`` additionally skips the LP for CERTIFIED
+    positive-deficit states: their total DNS is already provably exact and
+    their nodal split becomes the certificate's load-proportional pattern
+    (one valid point of the degenerate optimal face). All aggregate
+    indices (EDNS/LOLE/EENS/PLC/component importance) are unchanged; only
+    the per-bus split of the shed differs. This cuts the LP fraction from
+    ~10% to ~1-2% of states at peak load.
 
     Returns ``(EvalResult, n_overflow)`` where ``n_overflow`` counts states
     that needed the LP but did not fit in the buffer (they fall back to the
@@ -339,8 +348,10 @@ def evaluate_states_screened(sys: System, comp_down: jax.Array,
             sys, comp_down, load_pu)
         compat = dataclasses.replace(compat, island_blackout=False)
     pre = certify_states(sys, comp_down, load_pu)
-    zero_cert = pre.certified & (pre.deficit <= 0)
-    need_lp = ~zero_cert
+    if nodal_mode == "proportional":
+        need_lp = ~pre.certified
+    else:
+        need_lp = ~(pre.certified & (pre.deficit <= 0))
 
     idx = jnp.nonzero(need_lp, size=max_lp, fill_value=0)[0]
     valid = (jnp.arange(max_lp) < jnp.sum(need_lp)) & need_lp[idx]

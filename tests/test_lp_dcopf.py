@@ -199,3 +199,27 @@ class TestIslandBlackout:
         assert bool(reach[0].all())
         assert not bool(reach[1, 6])       # bus 7 cut off
         assert bool(reach[1, [0, 1, 2, 7, 23]].all())
+
+
+class TestFastNodalMode:
+    def test_totals_match_lp_mode(self, sys24):
+        rng = np.random.default_rng(17)
+        u = twostate.unavailability(cases.rts24())
+        B = 32
+        down = rng.uniform(size=(B, 71)) < u[None, :]
+        down[:, 14] = False
+        loads = _peak_loads(sys24, B)
+        lp, over1 = dcopf.evaluate_states_screened(
+            sys24, jnp.asarray(down), jnp.asarray(loads), B, COMPAT, IPM,
+            "lp")
+        fast, over2 = dcopf.evaluate_states_screened(
+            sys24, jnp.asarray(down), jnp.asarray(loads), B, COMPAT, IPM,
+            "proportional")
+        assert int(over1) == 0 and int(over2) == 0
+        # totals and flags identical; only the nodal SPLIT may differ
+        np.testing.assert_allclose(np.asarray(fast.dns_mw),
+                                   np.asarray(lp.dns_mw), atol=0.5)
+        assert (np.asarray(fast.failure) == np.asarray(lp.failure)).all()
+        np.testing.assert_allclose(np.asarray(fast.nodal_mw.sum(axis=1)),
+                                   np.asarray(lp.nodal_mw.sum(axis=1)),
+                                   atol=0.5)
