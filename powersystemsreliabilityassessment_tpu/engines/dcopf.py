@@ -197,12 +197,50 @@ def certify_states(sys: System, comp_down: jax.Array, load_pu: jax.Array,
         cand - load_pu * (resid / jnp.maximum(load_tot, 1e-9))[:, None],
         0.0, load_pu)
 
-    inj = (dispatch @ sys.gen_bus_onehot.T + cand @ sys.load_onehot.T
-           - load_pu @ sys.load_onehot.T)              # [B, nb]
-    flows = inj @ sys.ptdf.T                           # [B, nl]
+    def flows_of(shed):
+        inj = (dispatch @ sys.gen_bus_onehot.T + shed @ sys.load_onehot.T
+               - load_pu @ sys.load_onehot.T)          # [B, nb]
+        return inj @ sys.ptdf.T                        # [B, nl]
+
     rate_ok = sys.br_rate[None, :] + 1e-4
+    ptdf_load = sys.ptdf @ sys.load_onehot             # [nl, nd]
+    flows = flows_of(cand)
     flow_ok = jnp.all(jnp.abs(flows) <= rate_ok, axis=1)
-    certified = no_line_out & flow_ok
+
+    # Repair pass: when the first shed pattern congests a line, shift shed
+    # toward the buses whose PTDF sensitivity relieves the overloads
+    # (d f_l / d shed_i = PTDF[l, bus_i]); re-balance to the same total and
+    # re-check. The repaired pattern is just another candidate — if it
+    # passes, the copper bound is certified with it; if not, the state
+    # falls through to the LP. Two fixed passes, fully vectorized.
+    best_ok = flow_ok
+    best_shed = cand
+    cur_shed, cur_flows = cand, flows
+    for _ in range(2):
+        over = jnp.maximum(jnp.abs(cur_flows) - sys.br_rate[None, :], 0.0)
+        grad = (jnp.sign(cur_flows) * over) @ ptdf_load   # [B, nd]
+        grad = grad - jnp.mean(grad, axis=1, keepdims=True)
+        step_sz = (deficit / jnp.maximum(
+            jnp.max(jnp.abs(grad), axis=1), 1e-9))[:, None]
+        trial = jnp.clip(cur_shed - step_sz * grad, 0.0, load_pu)
+        # Re-balance to EXACTLY the deficit total before the flow check
+        # (clipping can strand residual; a few proportional rounds converge
+        # it below the noise thresholds).
+        for _ in range(3):
+            resid = jnp.sum(trial, axis=1) - deficit
+            trial = jnp.clip(
+                trial - load_pu
+                * (resid / jnp.maximum(load_tot, 1e-9))[:, None],
+                0.0, load_pu)
+        f_trial = flows_of(trial)
+        ok_trial = jnp.all(jnp.abs(f_trial) <= rate_ok, axis=1)
+        newly = ~best_ok & ok_trial
+        best_shed = jnp.where(newly[:, None], trial, best_shed)
+        best_ok = best_ok | ok_trial
+        cur_shed, cur_flows = trial, f_trial
+
+    cand = best_shed
+    certified = no_line_out & best_ok
 
     # Single-branch-outage extension via LODF (exact post-outage flows):
     # crucial for chronological studies, where a 768-hour transformer

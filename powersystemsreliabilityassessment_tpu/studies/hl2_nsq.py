@@ -36,7 +36,8 @@ from powersystemsreliabilityassessment_tpu.utils.config import (
 
 def make_nsq_batch_step(sys: System, mesh: Mesh, batch_per_device: int,
                         compat: CompatFlags, ipm: IPMConfig,
-                        max_lp: int | None = None, antithetic: bool = False):
+                        max_lp: int | None = None, antithetic: bool = False,
+                        nodal_mode: str = "lp"):
     """Build the jitted, mesh-sharded one-batch step: key -> BatchMoments."""
     from powersystemsreliabilityassessment_tpu.sampling.state import sample_states
 
@@ -53,7 +54,7 @@ def make_nsq_batch_step(sys: System, mesh: Mesh, batch_per_device: int,
         load = jnp.broadcast_to(sys.load_pd[None, :],
                                 (batch_per_device, sys.n_load))
         res, n_over = dcopf.evaluate_states_screened(
-            sys, down, load, max_lp, compat, ipm)
+            sys, down, load, max_lp, compat, ipm, nodal_mode)
         m = accumulators.batch_moments(res.dns_mw, res.nodal_mw, res.failure,
                                        down)
         return accumulators.psum_moments(m), jax.lax.psum(
@@ -102,7 +103,8 @@ def run_nsq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
     bpd = max(cfg.batch_size // n_dev, 1)
 
     step = make_nsq_batch_step(sys, mesh, bpd, compat, ipm,
-                               antithetic=cfg.antithetic)
+                               antithetic=cfg.antithetic,
+                               nodal_mode=cfg.nodal_mode)
     root = jax.random.key(cfg.seed)
 
     stats = accumulators.RunningStats()

@@ -41,7 +41,8 @@ from powersystemsreliabilityassessment_tpu.utils.config import (
 
 def _year_eval(sys: System, compat: CompatFlags, ipm: IPMConfig,
                factors: jax.Array, hours: int, n_draws: int, max_lp: int,
-               maint_down: jax.Array | None, key: jax.Array):
+               maint_down: jax.Array | None, nodal_mode: str,
+               key: jax.Array):
     """Evaluate ONE simulated year. Returns annual indices + accumulators."""
     down = chronological.sample_timeline(
         key, sys.mttf, sys.mttr, hours, n_draws)          # [ncomp, H] bool
@@ -51,7 +52,7 @@ def _year_eval(sys: System, compat: CompatFlags, ipm: IPMConfig,
     load_h = factors[:, None] * sys.load_pd[None, :]      # [H, nd]
 
     res, n_over = dcopf.evaluate_states_screened(
-        sys, down_h, load_h, max_lp, compat, ipm)
+        sys, down_h, load_h, max_lp, compat, ipm, nodal_mode)
 
     dns = res.dns_mw                                      # [H]
     flag = dns > compat.seq_curtail_threshold_mw          # [H]
@@ -73,7 +74,8 @@ def make_seq_batch_step(sys: System, mesh: Mesh, years_per_device: int,
                         compat: CompatFlags, ipm: IPMConfig,
                         hours: int, n_draws: int, max_lp: int,
                         factors: np.ndarray,
-                        maint_down: np.ndarray | None = None):
+                        maint_down: np.ndarray | None = None,
+                        nodal_mode: str = "lp"):
     fac = jnp.asarray(factors, sys.bus_pd.dtype)
     md = None if maint_down is None else jnp.asarray(maint_down)
 
@@ -82,7 +84,8 @@ def make_seq_batch_step(sys: System, mesh: Mesh, years_per_device: int,
         k = jax.random.fold_in(key, dev)
         keys = jax.random.split(k, years_per_device)
         outs = jax.vmap(lambda kk: _year_eval(
-            sys, compat, ipm, fac, hours, n_draws, max_lp, md, kk))(keys)
+            sys, compat, ipm, fac, hours, n_draws, max_lp, md, nodal_mode,
+            kk))(keys)
         # Per-year vectors are gathered (all years visible on all hosts);
         # scalar accumulators are psum-reduced.
         ens, plc, nlc, dlc, edns, nodal, comp_fail, loss_h, n_over = outs
@@ -171,7 +174,8 @@ def run_seq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
         maint_down[:, :case.n_gen] = wk_mask[week_of_hour]
 
     step = make_seq_batch_step(sys, mesh, years_per_device, compat, ipm,
-                               hours, n_draws, max_lp, factors, maint_down)
+                               hours, n_draws, max_lp, factors, maint_down,
+                               nodal_mode=cfg.nodal_mode)
     root = jax.random.key(cfg.seed)
 
     stats = AnnualStats()
