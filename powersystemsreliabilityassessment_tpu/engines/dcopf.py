@@ -297,7 +297,11 @@ def _solve_batch(sys: System, comp_down: jax.Array, load_pu: jax.Array,
         up[:, :ng], up[:, ng:ng + nl], load_pu)
     sol = lp_ipm_batched.solve_box_lp_batched(c, A, b, l, u, ipm)
     shed = sol.x[:B, ng:ng + nd]
-    return shed, sol.x[:B, :ng], sol.primal_residual[:B]
+    # Conservative lane-quality score: primal infeasibility plus the
+    # duality-gap estimate (2n*mu) — a primal-feasible but non-optimal
+    # iterate has small rp but large gap.
+    quality = sol.primal_residual[:B] + 2 * A.shape[2] * sol.duality_gap[:B]
+    return shed, sol.x[:B, :ng], quality
 
 
 def _finalize(sys: System, compat: CompatFlags, shed, pg, res, comp_down,
@@ -310,6 +314,16 @@ def _finalize(sys: System, compat: CompatFlags, shed, pg, res, comp_down,
     base = sys.base_mva
     dns = jnp.where(cert.certified, cert.deficit * base,
                     jnp.sum(shed, axis=1) * base)
+    # Quality guard: a lane whose LP left a large primal infeasibility OR
+    # duality gap is untrustworthy — degrade to the copper-sheet lower
+    # bound (and the certificate's balanced pattern) instead of
+    # propagating garbage. The score stays exposed in EvalResult
+    # (primal_residual field) for monitoring. (The reference silently
+    # records ZERO on solver failure, seqMain.m:117-126; a bound is
+    # strictly better and still flagged.)
+    bad = (~cert.certified) & (res > 5e-3)
+    dns = jnp.where(bad, cert.deficit * base, dns)
+    shed = jnp.where(bad[:, None], cert.shed, shed)
     nodal = (shed * base) @ sys.load_onehot.T  # [B, nb]
 
     dns = jnp.where(dns < compat.dns_noise_floor_mw, 0.0, dns)

@@ -36,27 +36,29 @@ def _pos(a, eps=1e-12):
     return jnp.maximum(a, eps)
 
 
-# VMEM budget: the kernel holds ~3 [m, m, 128] f32 tiles (in, out,
-# scratch); m <= 88 keeps that under the 16 MB VMEM limit. Larger systems
-# fall back to XLA's batched cholesky (a blocked Pallas variant is a
-# planned optimization).
-_PALLAS_MAX_M = 88
-
-
-def _use_pallas(batch: int, m: int) -> bool:
-    return (jax.default_backend() == "tpu" and batch % bc.LANES == 0
-            and m <= _PALLAS_MAX_M)
+# VMEM budget: with Mosaic's double-buffered grid inputs ~5 [m, m, 128]
+# f32 tiles are live in the direct kernel; m <= 72 keeps that under the
+# 16 MB VMEM limit. Up to _BLOCKED_MAX_M the panel-blocked factorization
+# (ops/blocked_chol.py) is used; beyond that, XLA's batched cholesky.
+_PALLAS_MAX_M = 72
+_BLOCKED_MAX_M = 224
 
 
 def _make_chol_ops(batch: int, m: int):
     """Returns (factor, solve) closing over the backend choice."""
-    if _use_pallas(batch, m):
+    on_tpu = jax.default_backend() == "tpu" and batch % bc.LANES == 0
+    if on_tpu and m <= _PALLAS_MAX_M:
         def factor(M):
             return bc.cholesky_bm(bc.to_batch_minor(M))
 
         def solve(Lt, r):
             return bc.from_batch_minor(
                 bc.cho_solve_bm(Lt, bc.to_batch_minor(r)))
+    elif on_tpu and m <= _BLOCKED_MAX_M:
+        from powersystemsreliabilityassessment_tpu.ops import blocked_chol
+
+        factor = blocked_chol.blocked_cholesky
+        solve = blocked_chol.blocked_cho_solve
     else:
         def factor(M):
             return jnp.linalg.cholesky(M)

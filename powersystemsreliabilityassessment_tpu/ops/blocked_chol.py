@@ -1,0 +1,172 @@
+"""Blocked batch-minor Cholesky for systems too large for one VMEM tile.
+
+The direct kernel in :mod:`.batched_chol` holds a full [m, m, 128] tile in
+VMEM, capping m at ~88. Larger systems (e.g. RTS-96's 191x191 normal
+matrices) use a classic left-looking panel factorization:
+
+    for each diagonal panel j:                (panel width P, static)
+        S_jj = M_jj - sum_k L_jk L_jk'        (MXU batched matmul)
+        L_jj = chol(S_jj)                     (direct Pallas kernel)
+        for each i > j:
+            B = M_ij - sum_k L_ik L_jk'       (MXU batched matmul)
+            L_ij' = trsm_lower(L_jj, B')      (Pallas forward solve)
+
+The cross-panel updates are ordinary batch-major matmuls (MXU-friendly);
+only the panel-local factorization and triangular solves run in the
+batch-minor Pallas kernels. Solves traverse panels forward then backward
+with the same kernels (K=1 right-hand sides).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from powersystemsreliabilityassessment_tpu.ops import batched_chol as bc
+
+LANES = bc.LANES
+PANEL = 56  # Mosaic double-buffers each grid input: ~7 tiles live; 56^2*128*4B*7 = 11 MB
+
+
+def _trsm_fwd_kernel(l_ref, b_ref, out_ref):
+    """X = L^{-1} B per lane. l: [1,P,P,128], b: [1,P,K,128] (row blocks)."""
+    p = l_ref.shape[1]
+    row = jax.lax.broadcasted_iota(jnp.int32, (p, 1, 1), 0)
+
+    def body(x):
+        x[...] = b_ref[0]
+
+        def step(i, _):
+            li = l_ref[0, pl.ds(i, 1), :, :]               # [1,p,128]
+            li_col = jnp.reshape(li, (p, 1, LANES))        # row i as column
+            s = jnp.sum(jnp.where(row < i, li_col * x[...], 0.0),
+                        axis=0, keepdims=True)             # [1,K,128]
+            lii = l_ref[0, pl.ds(i, 1), pl.ds(i, 1), :]    # [1,1,128]
+            x[pl.ds(i, 1), :, :] = (x[pl.ds(i, 1), :, :] - s) / lii
+            return 0
+
+        jax.lax.fori_loop(0, p, step, 0)
+        out_ref[0] = x[...]
+
+    pl.run_scoped(body, pltpu.VMEM(b_ref.shape[1:], b_ref.dtype))
+
+
+def _trsm_bwd_kernel(l_ref, b_ref, out_ref):
+    """X = L^{-T} B per lane (backward substitution on L's columns)."""
+    p = l_ref.shape[1]
+    row = jax.lax.broadcasted_iota(jnp.int32, (p, 1, 1), 0)
+
+    def body(x):
+        x[...] = b_ref[0]
+
+        def step(t, _):
+            i = p - 1 - t
+            lc = l_ref[0, :, pl.ds(i, 1), :]               # [p,1,128]
+            s = jnp.sum(jnp.where(row > i, lc * x[...], 0.0),
+                        axis=0, keepdims=True)             # [1,K,128]
+            lii = l_ref[0, pl.ds(i, 1), pl.ds(i, 1), :]
+            x[pl.ds(i, 1), :, :] = (x[pl.ds(i, 1), :, :] - s) / lii
+            return 0
+
+        jax.lax.fori_loop(0, p, step, 0)
+        out_ref[0] = x[...]
+
+    pl.run_scoped(body, pltpu.VMEM(b_ref.shape[1:], b_ref.dtype))
+
+
+def _call_trsm(kernel, l_bm, b_bm):
+    nblk, p = l_bm.shape[0], l_bm.shape[1]
+    k = b_bm.shape[2]
+    return pl.pallas_call(
+        kernel,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((1, p, p, LANES), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, k, LANES), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, p, k, LANES), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(b_bm.shape, b_bm.dtype),
+        interpret=jax.default_backend() != "tpu",
+    )(l_bm, b_bm)
+
+
+def trsm_fwd(l_bm, b_bm):
+    """[nblk,P,P,128], [nblk,P,K,128] -> L^{-1} B."""
+    return _call_trsm(_trsm_fwd_kernel, l_bm, b_bm)
+
+
+def trsm_bwd(l_bm, b_bm):
+    """[nblk,P,P,128], [nblk,P,K,128] -> L^{-T} B."""
+    return _call_trsm(_trsm_bwd_kernel, l_bm, b_bm)
+
+
+def _panels(m: int):
+    """Static panel split of m into widths <= PANEL."""
+    edges = list(range(0, m, PANEL)) + [m]
+    return [(edges[i], edges[i + 1]) for i in range(len(edges) - 1)]
+
+
+def blocked_cholesky(M: jax.Array):
+    """Batched blocked Cholesky. M: [B, m, m] -> list-of-panels factor.
+
+    Returns (panels, Ls, Loffs): diagonal-panel factors ``Ls[j]`` in
+    batch-minor layout and off-diagonal blocks ``Loffs[(i, j)]`` in
+    batch-major [B, pi, pj].
+    """
+    B, m, _ = M.shape
+    panels = _panels(m)
+    Ls: list = []
+    Loff: dict = {}
+    for j, (j0, j1) in enumerate(panels):
+        pj = j1 - j0
+        S = M[:, j0:j1, j0:j1]
+        for k in range(j):
+            Ljk = Loff[(j, k)]
+            S = S - Ljk @ jnp.swapaxes(Ljk, 1, 2)
+        # float32 Schur complements of ill-conditioned normal matrices can
+        # lose positive definiteness to cancellation; a small relative
+        # diagonal lift keeps every panel factorizable (the IPM's residual
+        # feedback absorbs the perturbation).
+        diag = jnp.diagonal(S, axis1=1, axis2=2)
+        lift = 1e-4 * jnp.maximum(diag, 1e-30)
+        S = S + jax.vmap(jnp.diag)(lift)
+        Lj_bm = bc.cholesky_bm(bc.to_batch_minor(S))
+        Ls.append(Lj_bm)
+        for i in range(j + 1, len(panels)):
+            i0, i1 = panels[i]
+            Bij = M[:, i0:i1, j0:j1]
+            for k in range(j):
+                Bij = Bij - Loff[(i, k)] @ jnp.swapaxes(Loff[(j, k)], 1, 2)
+            # L_ij = B L_jj^{-T}  <=>  L_ij^T = L_jj^{-1} B^T
+            Xt = trsm_fwd(Lj_bm,
+                          bc.to_batch_minor(jnp.swapaxes(Bij, 1, 2)))
+            Loff[(i, j)] = jnp.swapaxes(bc.from_batch_minor(Xt), 1, 2)
+    return panels, Ls, Loff
+
+
+def blocked_cho_solve(factor, r: jax.Array) -> jax.Array:
+    """Solve L L' x = r given a blocked factor. r: [B, m]."""
+    panels, Ls, Loff = factor
+    n_p = len(panels)
+    # forward: y_i = L_ii^{-1} (r_i - sum_{k<i} L_ik y_k)
+    ys = []
+    for i, (i0, i1) in enumerate(panels):
+        ri = r[:, i0:i1]
+        for k in range(i):
+            ri = ri - jnp.einsum("bpq,bq->bp", Loff[(i, k)], ys[k])
+        yi = bc.from_batch_minor(
+            trsm_fwd(Ls[i], bc.to_batch_minor(ri[:, :, None])))[:, :, 0]
+        ys.append(yi)
+    # backward: x_i = L_ii^{-T} (y_i - sum_{k>i} L_ki' x_k)
+    xs = [None] * n_p
+    for i in range(n_p - 1, -1, -1):
+        yi = ys[i]
+        for k in range(i + 1, n_p):
+            yi = yi - jnp.einsum("bqp,bq->bp", Loff[(k, i)], xs[k])
+        xs[i] = bc.from_batch_minor(
+            trsm_bwd(Ls[i], bc.to_batch_minor(yi[:, :, None])))[:, :, 0]
+    return jnp.concatenate(xs, axis=1)
