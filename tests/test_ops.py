@@ -31,3 +31,20 @@ def test_chol_solve_small():
         (LL, True), rr))(jnp.linalg.cholesky(M), r)
     assert np.max(np.abs(np.tril(np.asarray(L)) - Lref)) < 1e-3
     np.testing.assert_allclose(np.asarray(y), np.asarray(yref), atol=1e-3)
+
+
+def test_blocked_chol_solve_small(monkeypatch):
+    from powersystemsreliabilityassessment_tpu.ops import blocked_chol as bl
+    monkeypatch.setattr(bl, "PANEL", 5)  # force multi-panel at tiny m
+    rng = np.random.default_rng(2)
+    B, m = bc.LANES, 12
+    A = rng.normal(size=(B, m, m + 4)).astype(np.float32)
+    M = jnp.asarray(A @ np.swapaxes(A, 1, 2)
+                    + 8 * np.eye(m, dtype=np.float32))
+    r = jnp.asarray(rng.normal(size=(B, m)).astype(np.float32))
+    fac = bl.blocked_cholesky(M)
+    x = bl.blocked_cho_solve(fac, r)
+    xref = jnp.linalg.solve(jnp.asarray(M, jnp.float64) if False else M,
+                            r[..., None])[..., 0]
+    rel = float(jnp.max(jnp.abs(x - xref)) / jnp.max(jnp.abs(xref)))
+    assert rel < 5e-3  # panel lift adds a small controlled perturbation
