@@ -84,7 +84,7 @@ def main():
     t0 = time.time()
     seq = run_seq_study(case, MCSConfig(max_years=4000, cov_threshold=0.05,
                                         seed=7), years_per_device=8,
-                        max_lp=256, log_every=5)
+                        max_lp=512, log_every=5)
     t_seq = time.time() - t0
     report.export_nodal_csv("results/seq_nodal_results.csv",
                             seq.nodal_eens_mwh_yr)
