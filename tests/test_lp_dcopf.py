@@ -223,3 +223,18 @@ class TestFastNodalMode:
         np.testing.assert_allclose(np.asarray(fast.nodal_mw.sum(axis=1)),
                                    np.asarray(lp.nodal_mw.sum(axis=1)),
                                    atol=0.5)
+
+
+def test_enforce_pmin_overgeneration_degrades_gracefully(sys24):
+    # With Pmin enforced, very low load makes the LP infeasible (committed
+    # minimum generation exceeds demand). MATPOWER fails and the reference
+    # records zero (seqMain.m:117-126); our quality guard degrades the lane
+    # to the certified copper bound = 0 as well — same outcome, but logged
+    # via the quality score instead of silent.
+    import dataclasses as dc
+    compat_pm = dc.replace(COMPAT, enforce_pmin=True)
+    down = np.zeros((1, 71), bool)
+    loads = 0.28 * _peak_loads(sys24, 1)   # ~800 MW < sum(Pmin) ~ 988 MW
+    res = dcopf.evaluate_states(sys24, jnp.asarray(down),
+                                jnp.asarray(loads), compat_pm, IPM)
+    assert float(res.dns_mw[0]) == 0.0
