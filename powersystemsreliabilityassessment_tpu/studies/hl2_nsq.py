@@ -119,11 +119,24 @@ def run_nsq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
             batch_idx = int(restored["batch_idx"])
             overflow = int(restored.get("overflow", 0))
 
+    max_lp = None  # step's default
     while stats.n < cfg.max_samples and (stats.beta > cfg.beta_limit):
         key = jax.random.fold_in(root, batch_idx)
         moments, n_over = step(key)
+        if int(n_over) > 0:
+            # Adaptive LP buffer: grow and REDO this batch (keys are
+            # deterministic, so the redo is exact, not a resample). The
+            # recompile cost is paid at most a few times per run.
+            max_lp = 2 * (max_lp or max(bpd // 4, 16))
+            if max_lp <= bpd:
+                print(f"LP buffer overflow ({int(n_over)}); growing "
+                      f"max_lp to {max_lp} and redoing batch")
+                step = make_nsq_batch_step(
+                    sys, mesh, bpd, compat, ipm, max_lp=max_lp,
+                    antithetic=cfg.antithetic, nodal_mode=cfg.nodal_mode)
+                continue
+            overflow += int(n_over)  # buffer already at batch size
         stats.update(moments)
-        overflow += int(n_over)
         batch_idx += 1
 
         histories["beta"].append(stats.beta)

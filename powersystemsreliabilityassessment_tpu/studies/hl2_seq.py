@@ -194,6 +194,15 @@ def run_seq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
     while stats.years < cfg.max_years and stats.cov > cfg.cov_threshold:
         key = jax.random.fold_in(root, batch_idx)
         ens, plc, nlc, dlc, edns, nodal, comp_fail, loss_h, n_over = step(key)
+        if int(n_over) > 0 and max_lp < hours:
+            # Adaptive LP buffer: grow and redo this batch exactly.
+            max_lp = min(2 * max_lp, hours)
+            print(f"LP buffer overflow ({int(n_over)} h); growing max_lp "
+                  f"to {max_lp} and redoing batch")
+            step = make_seq_batch_step(
+                sys, mesh, years_per_device, compat, ipm, hours, n_draws,
+                max_lp, factors, maint_down, nodal_mode=cfg.nodal_mode)
+            continue
         stats.update_years(ens, plc, nlc, dlc, edns, nodal, comp_fail,
                            float(loss_h))
         overflow += int(n_over)

@@ -116,3 +116,15 @@ def test_hl1_rts24_and_scaleup_smoke():
     out = scaleup.run(case_name="rts24", samples=256, batch_size=128,
                       antithetic=True)
     assert out["samples"] >= 256
+
+
+def test_seq_adaptive_lp_buffer():
+    from powersystemsreliabilityassessment_tpu.studies.hl2_seq import (
+        run_seq_study)
+    # absurdly small initial buffer: the study must grow it and redo
+    # batches rather than fall back to bounds.
+    cfg = MCSConfig(max_years=8, cov_threshold=0.0, seed=6)
+    r = run_seq_study(cases.rts24(), cfg, years_per_device=1, max_lp=8,
+                      hours=336, log_every=0)
+    assert r.years == 8
+    assert r.overflow_hours == 0
