@@ -148,3 +148,12 @@ class TestEducational:
     def test_estimation(self):
         s = markov_education.parameter_estimation_study()
         assert s.running_lambda[-1] == pytest.approx(s.true_lambda, rel=0.1)
+
+
+def test_three_area_rts96_hl15():
+    from powersystemsreliabilityassessment_tpu.studies import multiarea_demo
+    out = multiarea_demo.run_rts96_hl15(n_years=4, hours=1000)
+    iso = out[multiarea.ISOLATED]
+    inter = out[multiarea.INTERCONNECTED]
+    assert len(iso["lole"]) == 3
+    assert sum(inter["eue"]) <= sum(iso["eue"]) + 1e-6
