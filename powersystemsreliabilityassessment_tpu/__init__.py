@@ -22,6 +22,16 @@ coefficient-of-variation convergence control on host.
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# TPU matmuls default to bfloat16 accumulation inputs, which silently
+# truncates integers like 265 -> 264 in one-hot scatters and adds ~0.4%
+# error to PTDF flow checks and IPM residuals. Reliability indices need
+# exact bookkeeping: force full float32 matmul precision framework-wide
+# (the hot path's cost lives in the Pallas kernels, not the MXU matmuls,
+# so the throughput impact is small — measured in bench.py).
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from powersystemsreliabilityassessment_tpu.utils.config import (  # noqa: F401
     CompatFlags,
     MCSConfig,

@@ -161,6 +161,24 @@ def apply_island_blackout(sys: System, comp_down: jax.Array,
     return comp_down, jnp.where(load_reach, load_pu, 0.0), nodal
 
 
+def _rebalance_shed(cand: jax.Array, load_pu: jax.Array,
+                    target: jax.Array) -> jax.Array:
+    """Exactly rebalance a shed pattern to sum ``target`` within per-bus
+    caps: scale down multiplicatively (stays in bounds), scale up
+    proportional to remaining headroom (cannot strand residual as long as
+    target <= total load)."""
+    total = jnp.sum(cand, axis=1)
+    resid = total - target                                 # [B]
+    down_scale = jnp.where(
+        total > 1e-9, jnp.maximum(target, 0.0) / jnp.maximum(total, 1e-9),
+        0.0)
+    headroom = jnp.maximum(load_pu - cand, 0.0)
+    head_tot = jnp.maximum(jnp.sum(headroom, axis=1), 1e-9)
+    up = cand + headroom * ((-resid) / head_tot)[:, None]
+    return jnp.where((resid >= 0)[:, None], cand * down_scale[:, None],
+                     jnp.minimum(up, load_pu))
+
+
 def certify_states(sys: System, comp_down: jax.Array, load_pu: jax.Array,
                    shed_hint: jax.Array | None = None) -> Certificate:
     """Tier-1 exact bound certificate (batch).
@@ -191,11 +209,7 @@ def certify_states(sys: System, comp_down: jax.Array, load_pu: jax.Array,
     served = load_tot - deficit
     alpha = jnp.minimum(served / jnp.maximum(cap, 1e-9), 1.0)
     dispatch = sys.gen_pmax[None, :] * gen_up * alpha[:, None]
-    # Rebalance the shed pattern so the candidate state is exactly balanced.
-    resid = jnp.sum(dispatch, axis=1) + jnp.sum(cand, axis=1) - load_tot
-    cand = jnp.clip(
-        cand - load_pu * (resid / jnp.maximum(load_tot, 1e-9))[:, None],
-        0.0, load_pu)
+    cand = _rebalance_shed(cand, load_pu, deficit)
 
     def flows_of(shed):
         inj = (dispatch @ sys.gen_bus_onehot.T + shed @ sys.load_onehot.T
@@ -223,15 +237,7 @@ def certify_states(sys: System, comp_down: jax.Array, load_pu: jax.Array,
         step_sz = (deficit / jnp.maximum(
             jnp.max(jnp.abs(grad), axis=1), 1e-9))[:, None]
         trial = jnp.clip(cur_shed - step_sz * grad, 0.0, load_pu)
-        # Re-balance to EXACTLY the deficit total before the flow check
-        # (clipping can strand residual; a few proportional rounds converge
-        # it below the noise thresholds).
-        for _ in range(3):
-            resid = jnp.sum(trial, axis=1) - deficit
-            trial = jnp.clip(
-                trial - load_pu
-                * (resid / jnp.maximum(load_tot, 1e-9))[:, None],
-                0.0, load_pu)
+        trial = _rebalance_shed(trial, load_pu, deficit)
         f_trial = flows_of(trial)
         ok_trial = jnp.all(jnp.abs(f_trial) <= rate_ok, axis=1)
         newly = ~best_ok & ok_trial
