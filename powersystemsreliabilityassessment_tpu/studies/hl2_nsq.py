@@ -120,39 +120,66 @@ def run_nsq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
             overflow = int(restored.get("overflow", 0))
 
     max_lp = None  # step's default
-    while stats.n < cfg.max_samples and (stats.beta > cfg.beta_limit):
-        key = jax.random.fold_in(root, batch_idx)
-        moments, n_over = step(key)
+    # Double-buffered host loop: dispatch batch k+1 before synchronizing on
+    # batch k's (tiny) partial sums, hiding the host<->device round-trip
+    # behind device compute. The convergence check therefore lags one
+    # batch — at most one extra batch of work, which is consumed, not
+    # discarded.
+    pending = None  # (moments, n_over) futures of the in-flight batch
+
+    def consume(out) -> bool:
+        """Fold a finished batch into stats; True if a redo is needed."""
+        nonlocal max_lp, step, overflow
+        moments, n_over = out
         if int(n_over) > 0:
-            # Adaptive LP buffer: grow and REDO this batch (keys are
-            # deterministic, so the redo is exact, not a resample). The
-            # recompile cost is paid at most a few times per run.
-            max_lp = 2 * (max_lp or max(bpd // 4, 16))
-            if max_lp <= bpd:
+            # Adaptive LP buffer: grow and REDO (keys are deterministic,
+            # so the redo is exact, not a resample).
+            grown = 2 * (max_lp or max(bpd // 4, 16))
+            if grown <= bpd:
+                max_lp = grown
                 print(f"LP buffer overflow ({int(n_over)}); growing "
                       f"max_lp to {max_lp} and redoing batch")
                 step = make_nsq_batch_step(
                     sys, mesh, bpd, compat, ipm, max_lp=max_lp,
                     antithetic=cfg.antithetic, nodal_mode=cfg.nodal_mode)
-                continue
+                return True
             overflow += int(n_over)  # buffer already at batch size
         stats.update(moments)
-        batch_idx += 1
-
         histories["beta"].append(stats.beta)
         histories["edns"].append(stats.edns)
         histories["lole"].append(stats.lole(compat.hours_per_year_annualize))
         histories["plc"].append(stats.plc)
-
-        if log_every and batch_idx % log_every == 0:
+        n_batches = len(histories["beta"])
+        if log_every and n_batches % log_every == 0:
             print(f"samples {int(stats.n):7d}: beta={stats.beta:.6f} "
                   f"EDNS={stats.edns:.4f} MW LOLE="
                   f"{stats.lole(compat.hours_per_year_annualize):.2f} hr/yr")
-        if checkpointer is not None and batch_idx % 50 == 0:
+        if checkpointer is not None and n_batches % 50 == 0:
             checkpointer.save({"stats": stats.state(),
                                "histories": histories,
                                "batch_idx": batch_idx,
                                "overflow": overflow})
+        return False
+
+    global_batch = bpd * n_dev
+    while (batch_idx * global_batch < cfg.max_samples
+           and stats.beta > cfg.beta_limit):
+        key = jax.random.fold_in(root, batch_idx)
+        out = step(key)
+        if pending is not None:
+            if consume(pending[1]):
+                # Redo both the pending batch and the just-dispatched one
+                # with the grown buffer.
+                out = step(jax.random.fold_in(root, pending[0]))
+                batch_idx = pending[0]
+                pending = (batch_idx, out)
+                batch_idx += 1
+                continue
+        pending = (batch_idx, out)
+        batch_idx += 1
+
+    if pending is not None:
+        consume(pending[1])
 
     return NSQResult(
         edns_mw=stats.edns,

@@ -191,34 +191,54 @@ def run_seq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
             batch_idx = int(restored["batch_idx"])
             overflow = int(restored.get("overflow", 0))
 
-    while stats.years < cfg.max_years and stats.cov > cfg.cov_threshold:
-        key = jax.random.fold_in(root, batch_idx)
-        ens, plc, nlc, dlc, edns, nodal, comp_fail, loss_h, n_over = step(key)
+    # Double-buffered host loop (see hl2_nsq.py): dispatch batch k+1 before
+    # synchronizing on batch k; convergence check lags one batch.
+    years_per_batch = years_per_device * mesh.devices.size
+    pending = None
+
+    def consume(out) -> bool:
+        nonlocal max_lp, step, overflow
+        ens, plc, nlc, dlc, edns, nodal, comp_fail, loss_h, n_over = out
         if int(n_over) > 0 and max_lp < hours:
-            # Adaptive LP buffer: grow and redo this batch exactly.
             max_lp = min(2 * max_lp, hours)
             print(f"LP buffer overflow ({int(n_over)} h); growing max_lp "
                   f"to {max_lp} and redoing batch")
             step = make_seq_batch_step(
                 sys, mesh, years_per_device, compat, ipm, hours, n_draws,
                 max_lp, factors, maint_down, nodal_mode=cfg.nodal_mode)
-            continue
+            return True
         stats.update_years(ens, plc, nlc, dlc, edns, nodal, comp_fail,
                            float(loss_h))
         overflow += int(n_over)
-        batch_idx += 1
         eens_history.append(stats.eens)
         cov_history.append(stats.cov)
-
-        if log_every and batch_idx % log_every == 0:
+        n_batches = len(eens_history)
+        if log_every and n_batches % log_every == 0:
             print(f"year {stats.years:5d} | EENS {stats.eens:9.2f} MWh/yr "
                   f"| CoV {stats.cov:.4f}")
-        if checkpointer is not None and batch_idx % 20 == 0:
+        if checkpointer is not None and n_batches % 20 == 0:
             checkpointer.save({
                 "stats": dataclasses.asdict(stats),
                 "cov_history": cov_history,
                 "eens_history": eens_history,
                 "batch_idx": batch_idx, "overflow": overflow})
+        return False
+
+    while (batch_idx * years_per_batch < cfg.max_years
+           and stats.cov > cfg.cov_threshold):
+        key = jax.random.fold_in(root, batch_idx)
+        out = step(key)
+        if pending is not None and consume(pending[1]):
+            out = step(jax.random.fold_in(root, pending[0]))
+            batch_idx = pending[0]
+            pending = (batch_idx, out)
+            batch_idx += 1
+            continue
+        pending = (batch_idx, out)
+        batch_idx += 1
+
+    if pending is not None:
+        consume(pending[1])
 
     return SEQResult(
         eens_mwh_yr=stats.eens,
