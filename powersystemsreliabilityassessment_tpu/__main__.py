@@ -47,6 +47,11 @@ def main() -> None:
     ma = sub.add_parser("multiarea")
     ma.add_argument("--years", type=int, default=100)
 
+    sc = sub.add_parser("scaleup")
+    sc.add_argument("--case", default="rts96")
+    sc.add_argument("--samples", type=int, default=50_000)
+    sc.add_argument("--antithetic", action="store_true", default=True)
+
     sub.add_parser("bench")
 
     args = p.parse_args()
@@ -102,6 +107,11 @@ def main() -> None:
     elif args.study == "multiarea":
         from powersystemsreliabilityassessment_tpu.studies import multiarea_demo
         multiarea_demo.run_demo(args.years)
+    elif args.study == "scaleup":
+        from powersystemsreliabilityassessment_tpu.studies import scaleup
+        print(json.dumps(scaleup.run(case_name=args.case,
+                                     samples=args.samples,
+                                     antithetic=args.antithetic)))
     elif args.study == "bench":
         import runpy
         runpy.run_path("bench.py", run_name="__main__")
