@@ -42,7 +42,7 @@ def main() -> None:
     sys = build_system(case, compat)
 
     batch = 16384
-    max_lp = 1024  # fast-mode LP need is ~0.6%; ~6x headroom
+    max_lp = 384  # fast-mode LP need is ~0.6% of 16384 = ~100; ~4x headroom
 
     @jax.jit
     def step(key):

@@ -128,3 +128,51 @@ def test_seq_adaptive_lp_buffer():
                       hours=336, log_every=0)
     assert r.years == 8
     assert r.overflow_hours == 0
+
+
+def test_checkpoint_resume_equals_uninterrupted(tmp_path):
+    from powersystemsreliabilityassessment_tpu.runtime.checkpoint import (
+        Checkpointer)
+
+    cfg_full = MCSConfig(batch_size=128, max_samples=512, seed=13)
+    full = run_nsq_study(cases.rts24(), cfg_full, log_every=0)
+
+    ck = Checkpointer(str(tmp_path / "resume.ckpt"))
+    cfg_half = MCSConfig(batch_size=128, max_samples=256, seed=13)
+    # first half: force a checkpoint by monkeypatching cadence via direct
+    # save of the final state
+    r1 = run_nsq_study(cases.rts24(), cfg_half, log_every=0)
+    ck.save({"stats": {
+        "n": r1.samples * 1.0,
+        "sum_dns": r1.edns_mw * r1.samples,
+        "sum_dns_sq": None,  # placeholder replaced below
+    }})
+    # Simpler, exact route: reconstruct the stats via a fresh run's
+    # internals is brittle; instead verify the Checkpointer round-trips
+    # RunningStats and that resuming from batch_idx reproduces the full
+    # run's tail deterministically.
+    stats = accumulators.RunningStats()
+    import jax as _jax
+    from powersystemsreliabilityassessment_tpu.core.system import build_system
+    from powersystemsreliabilityassessment_tpu.studies.hl2_nsq import (
+        make_nsq_batch_step)
+    from powersystemsreliabilityassessment_tpu.utils.config import (
+        CompatFlags, IPMConfig)
+    sys_ = build_system(cases.rts24(), CompatFlags())
+    mesh = meshlib.scenario_mesh()
+    bpd = 128 // mesh.devices.size
+    step = make_nsq_batch_step(sys_, mesh, bpd, CompatFlags(), IPMConfig())
+    root = _jax.random.key(13)
+    for b in range(2):
+        m, _ = step(_jax.random.fold_in(root, b))
+        stats.update(m)
+    ck.save({"stats": stats.state(), "histories": {
+        "beta": [], "edns": [], "lole": [], "plc": []},
+        "batch_idx": 2})
+    resumed = run_nsq_study(cases.rts24(),
+                            MCSConfig(batch_size=128, max_samples=512,
+                                      seed=13),
+                            checkpointer=ck, log_every=0)
+    assert resumed.samples == full.samples
+    assert resumed.edns_mw == pytest.approx(full.edns_mw, rel=1e-6)
+    assert resumed.plc == pytest.approx(full.plc, rel=1e-9)

@@ -81,3 +81,34 @@ class TestMarkov:
         # discard burn-in, compare to U = 50/1050
         frac = float(path[:, :, 500:].mean())
         assert frac == pytest.approx(50 / 1050, abs=0.01)
+
+
+class TestDwellTimeDistributions:
+    def test_down_run_lengths_match_ceil_exponential(self):
+        # The reference's repair durations are ceil(Exp(MTTR))
+        # (seq_mcsampling.m:376): P(L = k) = exp(-(k-1)/m) - exp(-k/m).
+        import numpy as np
+
+        mttr, mttf = 40.0, 400.0
+        k = chronological.default_num_draws(np.array([mttf]),
+                                            np.array([mttr]), 8736)
+        down = np.asarray(chronological.sample_timeline_batch(
+            jax.random.key(7), jnp.asarray([mttf]), jnp.asarray([mttr]),
+            8736, k, 400))[:, 0, :]
+        # extract run lengths of consecutive True (interior runs only)
+        lengths = []
+        for row in down:
+            d = np.diff(row.astype(int))
+            starts = np.where(d == 1)[0] + 1
+            ends = np.where(d == -1)[0] + 1
+            m = min(len(starts), len(ends))
+            s, e = starts[:m], ends[:m]
+            e = e[e > s[0]] if m else e
+            lengths.extend((e[:len(s)] - s[:len(e)]).tolist())
+        lengths = np.asarray([x for x in lengths if x > 0])
+        assert len(lengths) > 2000
+        mean_expected = 1.0 / (1.0 - np.exp(-1.0 / mttr))  # E[ceil(Exp)]
+        assert np.mean(lengths) == pytest.approx(mean_expected, rel=0.05)
+        # P(L=1) check
+        p1 = 1.0 - np.exp(-1.0 / mttr)
+        assert np.mean(lengths == 1) == pytest.approx(p1, abs=0.01)
