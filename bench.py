@@ -41,8 +41,8 @@ def main() -> None:
     case = cases.rts24()
     sys = build_system(case, compat)
 
-    batch = 16384
-    max_lp = 384  # fast-mode LP need is ~0.6% of 16384 = ~100; ~4x headroom
+    batch = 262144
+    max_lp = 4096  # fast-mode LP need is ~0.6% of 262144 = ~1600; ~2.5x headroom
 
     @jax.jit
     def step(key):
@@ -57,7 +57,7 @@ def main() -> None:
     out = step(key)
     jax.block_until_ready(out)
 
-    n_iters = 30
+    n_iters = 15
     t0 = time.perf_counter()
     for i in range(n_iters):
         out = step(jax.random.fold_in(key, i))
