@@ -205,11 +205,13 @@ def replicate_case(case: CaseData, n_areas: int, tie_rate: float = 500.0,
                    tie_x: float = 0.05) -> CaseData:
     """Scale a case up by tiling it into ``n_areas`` interconnected areas.
 
-    Follows the IEEE RTS-96 construction principle (identical areas joined by
-    a small set of inter-area ties). Each consecutive area pair is joined by
-    two tie lines (bus 7 of area i to bus 3 of area i+1, and bus 23 of area i
-    to bus 17 of area i+1), giving a connected multi-area system suitable for
-    multi-chip scale-up studies.
+    Follows the IEEE RTS-96 construction principle (identical areas joined
+    by a small set of inter-area ties). Each consecutive area pair is
+    joined by two 230 kV tie lines anchored at strongly-connected buses
+    (bus 13 of area i to bus 15 of area i+1, and bus 23 of area i to bus 17
+    of area i+1) so the ties, not some internal radial line, bound the
+    inter-area transfer — giving a connected multi-area system suitable
+    for multi-chip scale-up studies.
     """
     nb = case.n_bus
     reps = range(n_areas)
@@ -229,8 +231,8 @@ def replicate_case(case: CaseData, n_areas: int, tie_rate: float = 500.0,
     # Inter-area ties (ring topology when n_areas > 2).
     pairs = [(k, (k + 1) % n_areas) for k in range(n_areas if n_areas > 2 else 1)]
     for a, b in pairs:
-        br_from.append(_i([a * nb + 6, a * nb + 22]))
-        br_to.append(_i([b * nb + 2, b * nb + 16]))
+        br_from.append(_i([a * nb + 12, a * nb + 22]))
+        br_to.append(_i([b * nb + 14, b * nb + 16]))
         br_x.append(_f([tie_x, tie_x]))
         br_rate.append(_f([tie_rate, tie_rate]))
         br_lambda.append(_f([0.4, 0.4]))

@@ -30,7 +30,7 @@ from powersystemsreliabilityassessment_tpu.utils.config import CompatFlags
     data_fields=[
         "bus_pd", "gen_bus_onehot", "load_onehot", "load_pd", "incidence",
         "b_susceptance", "br_rate", "gen_pmax", "gen_pmin", "unavail",
-        "mttf", "mttr", "always_up_nsq", "ptdf", "lodf",
+        "mttf", "mttr", "always_up_nsq", "ptdf", "lodf", "br_transfer",
     ],
     meta_fields=["name", "n_bus", "n_gen", "n_branch", "n_load", "base_mva"],
 )
@@ -61,6 +61,8 @@ class System:
     lodf: jax.Array            # [nl, nl] line-outage distribution factors;
     #                            column k is +inf-free only when outaging k
     #                            does NOT island the network
+    br_transfer: jax.Array     # [nl, nl] a[l,k]: flow on l per unit
+    #                            transfer across k (PTDF_l,fk - PTDF_l,tk)
 
     # Static metadata
     name: str
@@ -150,6 +152,7 @@ def build_system(case: CaseData, compat: CompatFlags = CompatFlags(),
         always_up_nsq=jnp.asarray(always_up),
         ptdf=dev(ptdf),
         lodf=dev(lodf),
+        br_transfer=dev(a),
         name=case.name,
         n_bus=nb,
         n_gen=ng,

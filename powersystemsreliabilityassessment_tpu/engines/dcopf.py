@@ -161,22 +161,22 @@ def apply_island_blackout(sys: System, comp_down: jax.Array,
     return comp_down, jnp.where(load_reach, load_pu, 0.0), nodal
 
 
-def _rebalance_shed(cand: jax.Array, load_pu: jax.Array,
+def _rebalance_shed(cand: jax.Array, caps: jax.Array,
                     target: jax.Array) -> jax.Array:
-    """Exactly rebalance a shed pattern to sum ``target`` within per-bus
-    caps: scale down multiplicatively (stays in bounds), scale up
-    proportional to remaining headroom (cannot strand residual as long as
-    target <= total load)."""
+    """Exactly rebalance a nonnegative pattern to sum ``target`` within
+    per-element ``caps``: scale down multiplicatively (stays in bounds),
+    scale up proportional to remaining headroom (cannot strand residual as
+    long as target <= sum(caps))."""
     total = jnp.sum(cand, axis=1)
     resid = total - target                                 # [B]
     down_scale = jnp.where(
         total > 1e-9, jnp.maximum(target, 0.0) / jnp.maximum(total, 1e-9),
         0.0)
-    headroom = jnp.maximum(load_pu - cand, 0.0)
+    headroom = jnp.maximum(caps - cand, 0.0)
     head_tot = jnp.maximum(jnp.sum(headroom, axis=1), 1e-9)
     up = cand + headroom * ((-resid) / head_tot)[:, None]
     return jnp.where((resid >= 0)[:, None], cand * down_scale[:, None],
-                     jnp.minimum(up, load_pu))
+                     jnp.minimum(up, caps))
 
 
 def certify_states(sys: System, comp_down: jax.Array, load_pu: jax.Array,
@@ -207,9 +207,21 @@ def certify_states(sys: System, comp_down: jax.Array, load_pu: jax.Array,
     cand = jnp.minimum(cand, load_pu)
 
     served = load_tot - deficit
-    alpha = jnp.minimum(served / jnp.maximum(cap, 1e-9), 1.0)
-    dispatch = sys.gen_pmax[None, :] * gen_up * alpha[:, None]
     cand = _rebalance_shed(cand, load_pu, deficit)
+
+    # Locally self-balancing dispatch candidate: each bus's generators
+    # first cover that bus's (post-shed) load, and only the residual is
+    # pooled across the remaining headroom. This keeps nodal injections —
+    # and therefore candidate flows — near zero, which is what lets the
+    # certificate pass on multi-area systems where a uniform-alpha
+    # dispatch would force large inter-area transfers.
+    gen_cap = sys.gen_pmax[None, :] * gen_up               # [B, ng]
+    served_bus = (load_pu - cand) @ sys.load_onehot.T      # [B, nb]
+    cap_bus = gen_cap @ sys.gen_bus_onehot.T               # [B, nb]
+    local_frac = jnp.minimum(
+        served_bus / jnp.maximum(cap_bus, 1e-9), 1.0)      # [B, nb]
+    disp_local = gen_cap * (local_frac @ sys.gen_bus_onehot)
+    dispatch = _rebalance_shed(disp_local, gen_cap, served)
 
     def flows_of(shed):
         inj = (dispatch @ sys.gen_bus_onehot.T + shed @ sys.load_onehot.T
@@ -221,31 +233,54 @@ def certify_states(sys: System, comp_down: jax.Array, load_pu: jax.Array,
     flows = flows_of(cand)
     flow_ok = jnp.all(jnp.abs(flows) <= rate_ok, axis=1)
 
-    # Repair pass: when the first shed pattern congests a line, shift shed
-    # toward the buses whose PTDF sensitivity relieves the overloads
-    # (d f_l / d shed_i = PTDF[l, bus_i]); re-balance to the same total and
-    # re-check. The repaired pattern is just another candidate — if it
-    # passes, the copper bound is certified with it; if not, the state
-    # falls through to the LP. Two fixed passes, fully vectorized.
+    # Repair passes: when the first candidate congests a line, move BOTH
+    # free quantities along their PTDF sensitivities — the shed pattern
+    # (d f_l / d shed_i = PTDF[l, load_bus_i]) and the generator dispatch
+    # (d f_l / d Pg_g = PTDF[l, gen_bus_g]) — re-balance each to its exact
+    # total, and re-check. The repaired point is just another candidate:
+    # if it passes, the copper bound is certified with it; otherwise the
+    # state falls through to the LP. Dispatch repair is what certifies
+    # multi-area systems, where the uniform-alpha dispatch forces large
+    # inter-area transfers the ties cannot carry.
+    ptdf_gen = sys.ptdf @ sys.gen_bus_onehot              # [nl, ng]
+    gen_cap = sys.gen_pmax[None, :] * gen_up              # [B, ng]
+
+    def flows_full(disp, shed):
+        inj = (disp @ sys.gen_bus_onehot.T + shed @ sys.load_onehot.T
+               - load_pu @ sys.load_onehot.T)
+        return inj @ sys.ptdf.T
+
     best_ok = flow_ok
-    best_shed = cand
-    cur_shed, cur_flows = cand, flows
-    for _ in range(2):
+    best_shed, best_disp = cand, dispatch
+    cur_shed, cur_disp, cur_flows = cand, dispatch, flows
+    for _ in range(6):
         over = jnp.maximum(jnp.abs(cur_flows) - sys.br_rate[None, :], 0.0)
-        grad = (jnp.sign(cur_flows) * over) @ ptdf_load   # [B, nd]
+        sgn_over = jnp.sign(cur_flows) * over
+        # dispatch adjustment (scaled to the larger of the two totals)
+        grad_g = sgn_over @ ptdf_gen                      # [B, ng]
+        grad_g = grad_g - jnp.mean(grad_g, axis=1, keepdims=True)
+        step_g = (jnp.sum(over, axis=1) / jnp.maximum(
+            jnp.max(jnp.abs(grad_g), axis=1), 1e-9))[:, None]
+        disp_t = jnp.clip(cur_disp - step_g * grad_g, 0.0, gen_cap)
+        disp_t = _rebalance_shed(disp_t, gen_cap, served)
+        # shed adjustment
+        grad = sgn_over @ ptdf_load                       # [B, nd]
         grad = grad - jnp.mean(grad, axis=1, keepdims=True)
         step_sz = (deficit / jnp.maximum(
             jnp.max(jnp.abs(grad), axis=1), 1e-9))[:, None]
         trial = jnp.clip(cur_shed - step_sz * grad, 0.0, load_pu)
         trial = _rebalance_shed(trial, load_pu, deficit)
-        f_trial = flows_of(trial)
+        f_trial = flows_full(disp_t, trial)
         ok_trial = jnp.all(jnp.abs(f_trial) <= rate_ok, axis=1)
-        newly = ~best_ok & ok_trial
+        # the intact-network check only certifies no-line-out lanes
+        newly = ~best_ok & ok_trial & no_line_out
         best_shed = jnp.where(newly[:, None], trial, best_shed)
+        best_disp = jnp.where(newly[:, None], disp_t, best_disp)
         best_ok = best_ok | ok_trial
-        cur_shed, cur_flows = trial, f_trial
+        cur_shed, cur_disp, cur_flows = trial, disp_t, f_trial
 
     cand = best_shed
+    dispatch = best_disp
     certified = no_line_out & best_ok
 
     # Single-branch-outage extension via LODF (exact post-outage flows):
@@ -263,6 +298,34 @@ def certify_states(sys: System, comp_down: jax.Array, load_pu: jax.Array,
     post = post * (1.0 - br_down)                      # outaged line: 0
     single_ok = single & jnp.all(jnp.abs(post) <= rate_ok, axis=1)
     certified = certified | single_ok
+
+    # DOUBLE-branch-outage extension: exact rank-2 Woodbury flow update.
+    # With outage set {k1, k2} and a = branch-transfer sensitivities,
+    # solve the 2x2 system E c = [f_k1, f_k2], E = I - a[{k},{k}]; then
+    # f' = f + a[:,k1] c1 + a[:,k2] c2. A singular E means the pair
+    # islands the network -> falls through to the LP.
+    pair = (n_out == 2) & (deficit <= 0)
+    k1 = jnp.argmax(br_down, axis=1)
+    masked = br_down * (1.0 - jax.nn.one_hot(k1, br_down.shape[1], dtype=dt))
+    k2 = jnp.argmax(masked, axis=1)
+    a11 = sys.br_transfer[k1, k1]
+    a12 = sys.br_transfer[k1, k2]
+    a21 = sys.br_transfer[k2, k1]
+    a22 = sys.br_transfer[k2, k2]
+    f1 = jnp.take_along_axis(flows, k1[:, None], axis=1)[:, 0]
+    f2 = jnp.take_along_axis(flows, k2[:, None], axis=1)[:, 0]
+    e11, e12, e21, e22 = 1.0 - a11, -a12, -a21, 1.0 - a22
+    det = e11 * e22 - e12 * e21
+    nonsing = jnp.abs(det) > 1e-5
+    safe_det = jnp.where(nonsing, det, 1.0)
+    c1 = (e22 * f1 - e12 * f2) / safe_det
+    c2 = (-e21 * f1 + e11 * f2) / safe_det
+    post2 = (flows + sys.br_transfer[:, k1].T * c1[:, None]
+             + sys.br_transfer[:, k2].T * c2[:, None])
+    post2 = post2 * (1.0 - br_down)
+    pair_ok = (pair & nonsing
+               & jnp.all(jnp.abs(post2) <= rate_ok, axis=1))
+    certified = certified | pair_ok
 
     return Certificate(certified=certified, deficit=deficit,
                        shed=cand, dispatch=dispatch)

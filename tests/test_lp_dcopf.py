@@ -238,3 +238,32 @@ def test_enforce_pmin_overgeneration_degrades_gracefully(sys24):
     res = dcopf.evaluate_states(sys24, jnp.asarray(down),
                                 jnp.asarray(loads), compat_pm, IPM)
     assert float(res.dns_mw[0]) == 0.0
+
+
+def test_pair_outage_certificate_flows_exact(sys24):
+    # Exact rank-2 update check: certificate post-outage flows for a
+    # 2-line outage must match flows computed on the reduced network.
+    rng = np.random.default_rng(23)
+    pairs = [(1, 3), (20, 21), (23, 25), (28, 33)]
+    inj = rng.normal(size=24).astype(np.float64)
+    inj[0] -= inj.sum()  # balanced injections
+    import numpy.linalg as la
+    inc = np.asarray(sys24.incidence, np.float64)
+    bsus = np.asarray(sys24.b_susceptance, np.float64)
+    a = np.asarray(sys24.br_transfer, np.float64)
+    ptdf = np.asarray(sys24.ptdf, np.float64)
+    f0 = ptdf @ inj
+    for k1, k2 in pairs:
+        # rank-2 woodbury as in certify_states
+        E = np.array([[1 - a[k1, k1], -a[k1, k2]],
+                      [-a[k2, k1], 1 - a[k2, k2]]])
+        c = la.solve(E, np.array([f0[k1], f0[k2]]))
+        post = f0 + a[:, k1] * c[0] + a[:, k2] * c[1]
+        # direct: rebuild PTDF without lines k1,k2
+        keep = np.ones(38, bool); keep[[k1, k2]] = False
+        inc2, b2 = inc[keep], bsus[keep]
+        bbus = inc2.T @ (b2[:, None] * inc2)
+        ptdf2 = np.zeros((keep.sum(), 24))
+        ptdf2[:, 1:] = (b2[:, None] * inc2[:, 1:]) @ la.inv(bbus[1:, 1:])
+        f2 = ptdf2 @ inj
+        np.testing.assert_allclose(post[keep], f2, atol=1e-6)
