@@ -253,7 +253,7 @@ def certify_states(sys: System, comp_down: jax.Array, load_pu: jax.Array,
     best_ok = flow_ok
     best_shed, best_disp = cand, dispatch
     cur_shed, cur_disp, cur_flows = cand, dispatch, flows
-    for _ in range(6):
+    for _ in range(3):
         over = jnp.maximum(jnp.abs(cur_flows) - sys.br_rate[None, :], 0.0)
         sgn_over = jnp.sign(cur_flows) * over
         # dispatch adjustment (scaled to the larger of the two totals)
