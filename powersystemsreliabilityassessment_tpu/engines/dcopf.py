@@ -289,9 +289,15 @@ def certify_states(sys: System, comp_down: jax.Array, load_pu: jax.Array,
     # Only the zero-deficit case is certified here (shed pattern trivial);
     # islanding outages carry a 1e6 sentinel in their LODF column, which
     # fails the flow check and falls through to the LP.
+    # The rank-1/rank-2 post-outage flow updates below are exact for ANY
+    # injection pattern, and the copper-sheet deficit remains a valid
+    # lower bound on the reduced network, so these certificates apply to
+    # deficit>0 states too (their shed/dispatch candidate is `cand`/
+    # `dispatch`, whose intact-network flows are `flows`; line-out lanes
+    # are excluded from the repair loop, so the pairing is consistent).
     br_down = comp_down[:, ng:].astype(dt)
     n_out = jnp.sum(br_down, axis=1)
-    single = (n_out == 1) & (deficit <= 0)
+    single = n_out == 1
     k = jnp.argmax(br_down, axis=1)                    # [B]
     fk = jnp.take_along_axis(flows, k[:, None], axis=1)  # [B, 1]
     post = flows + sys.lodf[:, k].T * fk               # [B, nl]
@@ -304,7 +310,7 @@ def certify_states(sys: System, comp_down: jax.Array, load_pu: jax.Array,
     # solve the 2x2 system E c = [f_k1, f_k2], E = I - a[{k},{k}]; then
     # f' = f + a[:,k1] c1 + a[:,k2] c2. A singular E means the pair
     # islands the network -> falls through to the LP.
-    pair = (n_out == 2) & (deficit <= 0)
+    pair = n_out == 2
     k1 = jnp.argmax(br_down, axis=1)
     masked = br_down * (1.0 - jax.nn.one_hot(k1, br_down.shape[1], dtype=dt))
     k2 = jnp.argmax(masked, axis=1)
