@@ -1,0 +1,42 @@
+"""Utility-layer coverage: profiling counters, checkpoint round-trip,
+report helpers."""
+import numpy as np
+
+from powersystemsreliabilityassessment_tpu.runtime.checkpoint import Checkpointer
+from powersystemsreliabilityassessment_tpu.utils import profiling, report
+
+
+def test_timings_sections():
+    t = profiling.Timings()
+    with t.section("solve", items=100):
+        pass
+    with t.section("solve", items=50):
+        pass
+    rep = t.report()
+    assert "solve" in rep
+    assert t.counts["solve"] == 150
+
+
+def test_checkpointer_roundtrip_and_clear(tmp_path):
+    ck = Checkpointer(str(tmp_path / "x.ckpt"))
+    assert ck.restore() is None
+    state = {"a": 1.5, "arr": np.arange(4.0), "nested": {"b": [1, 2]}}
+    ck.save(state)
+    back = ck.restore()
+    assert back["a"] == 1.5
+    np.testing.assert_array_equal(back["arr"], np.arange(4.0))
+    assert back["nested"]["b"] == [1, 2]
+    ck.clear()
+    assert ck.restore() is None
+
+
+def test_report_helpers(tmp_path):
+    imp = np.array([0.1, 0.5, 0.02, 0.4])
+    top = report.top_components(imp, n_gen=2, k=3)
+    assert top[0] == ("Gen 2", 0.5)
+    assert top[1] == ("Line 2", 0.4)
+    path = tmp_path / "nodal.csv"
+    report.export_nodal_csv(str(path), np.array([1.0, 2.0]))
+    lines = path.read_text().strip().splitlines()
+    assert lines[0] == "BusID,EENS_MWh_yr"
+    assert lines[1].startswith("1,")
