@@ -138,6 +138,7 @@ def run_seq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
                   hours: int | None = None,
                   scheduled_maintenance: bool = False,
                   checkpointer: Checkpointer | None = None,
+                  checkpoint_every: int = 20,
                   log_every: int = 5) -> SEQResult:
     from powersystemsreliabilityassessment_tpu.parallel.accumulators import AnnualStats
 
@@ -185,7 +186,11 @@ def run_seq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
     if checkpointer is not None:
         restored = checkpointer.restore()
         if restored is not None:
-            stats = AnnualStats(**restored["stats"])
+            st = dict(restored["stats"])
+            for k in ("sum_nodal", "sum_comp_fail"):
+                if st.get(k) is not None:  # JSON round-trips arrays as lists
+                    st[k] = np.asarray(st[k], np.float64)
+            stats = AnnualStats(**st)
             cov_history = restored["cov_history"]
             eens_history = restored["eens_history"]
             batch_idx = int(restored["batch_idx"])
@@ -216,7 +221,7 @@ def run_seq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
         if log_every and n_batches % log_every == 0:
             print(f"year {stats.years:5d} | EENS {stats.eens:9.2f} MWh/yr "
                   f"| CoV {stats.cov:.4f}")
-        if checkpointer is not None and n_batches % 20 == 0:
+        if checkpointer is not None and n_batches % checkpoint_every == 0:
             checkpointer.save({
                 "stats": dataclasses.asdict(stats),
                 "cov_history": cov_history,

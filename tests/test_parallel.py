@@ -176,3 +176,36 @@ def test_checkpoint_resume_equals_uninterrupted(tmp_path):
     assert resumed.samples == full.samples
     assert resumed.edns_mw == pytest.approx(full.edns_mw, rel=1e-6)
     assert resumed.plc == pytest.approx(full.plc, rel=1e-9)
+
+
+def test_seq_checkpoint_resume(tmp_path):
+    """Interrupted SEQ run + resume == uninterrupted run (bit-identical
+    EENS), because batch keys are fold_in(root, batch_idx) and the
+    checkpoint records the consumed-batch frontier."""
+    from powersystemsreliabilityassessment_tpu.runtime.checkpoint import (
+        Checkpointer)
+    from powersystemsreliabilityassessment_tpu.studies.hl2_seq import (
+        run_seq_study)
+
+    full = run_seq_study(cases.rts24(),
+                         MCSConfig(max_years=16, cov_threshold=0.0, seed=21),
+                         years_per_device=1, max_lp=64, hours=336,
+                         log_every=0)
+
+    ck = Checkpointer(str(tmp_path / "seq.ckpt"))
+    # First half: one 8-year batch, checkpointed every batch.
+    run_seq_study(cases.rts24(),
+                  MCSConfig(max_years=8, cov_threshold=0.0, seed=21),
+                  years_per_device=1, max_lp=64, hours=336,
+                  checkpointer=ck, checkpoint_every=1, log_every=0)
+    # Resume to the full horizon.
+    resumed = run_seq_study(cases.rts24(),
+                            MCSConfig(max_years=16, cov_threshold=0.0,
+                                      seed=21),
+                            years_per_device=1, max_lp=64, hours=336,
+                            checkpointer=ck, checkpoint_every=1, log_every=0)
+    assert resumed.years == full.years == 16
+    assert resumed.eens_mwh_yr == pytest.approx(full.eens_mwh_yr, rel=1e-9)
+    assert resumed.lole_hr_yr == pytest.approx(full.lole_hr_yr, rel=1e-9)
+    np.testing.assert_allclose(resumed.nodal_eens_mwh_yr,
+                               full.nodal_eens_mwh_yr, rtol=1e-9)
