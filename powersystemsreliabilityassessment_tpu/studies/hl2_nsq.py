@@ -96,6 +96,7 @@ def run_nsq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
                   ipm: IPMConfig = IPMConfig(),
                   mesh: Mesh | None = None,
                   checkpointer: Checkpointer | None = None,
+                  checkpoint_every: int = 50,
                   log_every: int = 10) -> NSQResult:
     sys = build_system(case, compat)
     mesh = mesh or meshlib.scenario_mesh()
@@ -154,7 +155,7 @@ def run_nsq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
             print(f"samples {int(stats.n):7d}: beta={stats.beta:.6f} "
                   f"EDNS={stats.edns:.4f} MW LOLE="
                   f"{stats.lole(compat.hours_per_year_annualize):.2f} hr/yr")
-        if checkpointer is not None and n_batches % 50 == 0:
+        if checkpointer is not None and n_batches % checkpoint_every == 0:
             checkpointer.save({"stats": stats.state(),
                                "histories": histories,
                                "batch_idx": batch_idx,
