@@ -40,17 +40,18 @@ def _pos(a, eps=1e-12):
 # f32 tiles are live in the direct kernel; m <= 72 keeps that under the
 # 16 MB VMEM limit. Up to _BLOCKED_MAX_M the panel-blocked factorization
 # (ops/blocked_chol.py) is used; beyond that, XLA's batched cholesky.
-# Crossover measurements on a v5e (B=128-256, factor + solve, fresh
-# inputs per rep): blocked stays ~1.25x faster than XLA through m=336
-# (40 vs 51 ms) and ties at m=756 (62 ms). But the panel diag-lift costs
-# ~200x factorization residual (1.8e-3 vs 1e-5 at m=336), and end-to-end
-# that stalls the IPM: at m=256 the lane-quality score (rp + 2n*mu)
-# lands at ~6e-1 vs ~7e-5 through XLA — past the 5e-3 trust guard on
-# every lane, so uncertified states silently degrade to copper bounds.
-# Raising the crossover is therefore NOT just a speed trade; keep 224
-# until the blocked solve carries iterative refinement.
+# Crossover measurements on a v5e (B=128-256, fresh inputs per rep):
+# blocked factor+solve stays ~1.25x faster than XLA through m=336 and
+# ties at m=756, and the full evaluator runs 3.3x faster at m=191
+# (51 vs 170 ms/128-batch). The panel diag-lift used to stall the IPM
+# (lane quality ~6e-1 at m=256, past the 5e-3 trust guard, silently
+# degrading uncertified states to copper bounds); with the blocked
+# solve's iterative refinement (ops/blocked_chol.py LIFT/REFINE_STEPS)
+# lane quality matches the XLA path exactly at m=191/256/320, so the
+# crossover extends to 336. Beyond that XLA wins on speed anyway
+# (case300 scale, m ~ 711).
 _PALLAS_MAX_M = 72
-_BLOCKED_MAX_M = 224
+_BLOCKED_MAX_M = 336
 
 
 def _make_chol_ops(batch: int, m: int):

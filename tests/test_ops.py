@@ -47,4 +47,23 @@ def test_blocked_chol_solve_small(monkeypatch):
     xref = jnp.linalg.solve(jnp.asarray(M, jnp.float64) if False else M,
                             r[..., None])[..., 0]
     rel = float(jnp.max(jnp.abs(x - xref)) / jnp.max(jnp.abs(xref)))
-    assert rel < 5e-3  # panel lift adds a small controlled perturbation
+    # iterative refinement removes the panel-lift perturbation
+    assert rel < 2e-5
+
+
+def test_blocked_chol_refinement_removes_lift(monkeypatch):
+    """Even a large panel lift must not reach the solution."""
+    from powersystemsreliabilityassessment_tpu.ops import blocked_chol as bl
+    monkeypatch.setattr(bl, "PANEL", 5)
+    monkeypatch.setattr(bl, "LIFT", 1e-3)
+    monkeypatch.setattr(bl, "REFINE_STEPS", 3)
+    rng = np.random.default_rng(7)
+    B, m = bc.LANES, 13
+    A = rng.normal(size=(B, m, m + 2)).astype(np.float32)
+    M = jnp.asarray(A @ np.swapaxes(A, 1, 2)
+                    + 4 * np.eye(m, dtype=np.float32))
+    r = jnp.asarray(rng.normal(size=(B, m)).astype(np.float32))
+    x = bl.blocked_cho_solve(bl.blocked_cholesky(M), r)
+    resid = np.asarray(r - jnp.einsum("bmn,bn->bm", M, x))
+    rel = np.max(np.abs(resid)) / np.max(np.abs(np.asarray(r)))
+    assert rel < 1e-4
