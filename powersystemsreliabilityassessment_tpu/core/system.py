@@ -31,6 +31,7 @@ from powersystemsreliabilityassessment_tpu.utils.config import CompatFlags
         "bus_pd", "gen_bus_onehot", "load_onehot", "load_pd", "incidence",
         "b_susceptance", "br_rate", "gen_pmax", "gen_pmin", "unavail",
         "mttf", "mttr", "always_up_nsq", "ptdf", "lodf", "br_transfer",
+        "theta_bound",
     ],
     meta_fields=["name", "n_bus", "n_gen", "n_branch", "n_load", "base_mva"],
 )
@@ -63,6 +64,9 @@ class System:
     #                            does NOT island the network
     br_transfer: jax.Array     # [nl, nl] a[l,k]: flow on l per unit
     #                            transfer across k (PTDF_l,fk - PTDF_l,tk)
+    theta_bound: jax.Array     # [nb] per-bus |theta| bound, rad (vs the
+    #                            gauge-fixed reference bus 0); see
+    #                            build_system for the derivation
 
     # Static metadata
     name: str
@@ -129,6 +133,29 @@ def build_system(case: CaseData, compat: CompatFlags = CompatFlags(),
     np.fill_diagonal(lodf, -1.0)
     lodf = np.where(usable[None, :], lodf, 1e6)
 
+    # Per-bus voltage-angle bound for the B-theta LP (the flat +-6 rad box
+    # leaves near-null inter-area angle modes in the float32 normal
+    # matrices of large tiled systems, stalling the IPM). With theta_0
+    # gauge-fixed (its column is zeroed in build_state_lp), any feasible
+    # flow pattern satisfies |theta_i| <= min-path sum of rate_l/b_l from
+    # bus 0 (the angle difference can be evaluated along the cheapest
+    # path), so that distance is a provably non-clipping bound for states
+    # connected to the reference. Islanded buses only need SOME level in
+    # the box (their island's internal spread obeys the same kind of
+    # bound but on the reduced graph), hence the 2x margin + 0.5 rad
+    # floor; the lane-quality guard catches any residual corner case.
+    from scipy.sparse import csr_matrix
+    from scipy.sparse.csgraph import dijkstra
+
+    w = (case.br_rate / base) * case.br_x        # rad per branch at rating
+    adj = csr_matrix((np.concatenate([w, w]),
+                      (np.concatenate([case.br_from, case.br_to]),
+                       np.concatenate([case.br_to, case.br_from]))),
+                     shape=(nb, nb))
+    dist = dijkstra(adj, directed=False, indices=0)
+    dist = np.where(np.isfinite(dist), dist, np.max(w) * nb)
+    theta_bound = 2.0 * dist + 0.5
+
     always_up = np.zeros(case.n_comp, dtype=bool)
     if compat.sync_cond_always_up_nsq:
         always_up[: ng] = case.sync_cond_mask
@@ -153,6 +180,7 @@ def build_system(case: CaseData, compat: CompatFlags = CompatFlags(),
         ptdf=dev(ptdf),
         lodf=dev(lodf),
         br_transfer=dev(a),
+        theta_bound=dev(theta_bound),
         name=case.name,
         n_bus=nb,
         n_gen=ng,

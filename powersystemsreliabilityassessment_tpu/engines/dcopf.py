@@ -95,11 +95,17 @@ def build_state_lp(sys: System, gen_up: jax.Array, br_up: jax.Array,
         sys.gen_bus_onehot * gen_col[None, :], sys.load_onehot,
         -sys.incidence.T, jnp.zeros((nb, nb), dt),
     ], axis=1)
-    # Flow block [nl, n]: (1/b) f - status * Minc theta = 0
+    # Flow block [nl, n]: (1/b) f - status * Minc theta = 0. The reference
+    # bus's theta column is ZEROED (same column-disconnection trick as the
+    # out-of-service gens): that gauge-fixes theta_0 = 0 exactly — the
+    # standard DC power-flow reference elimination — removing the uniform
+    # angle-shift null mode from A instead of leaving the interior point
+    # to float it across the box.
+    ref_mask = (jnp.arange(nb) != 0).astype(dt)
     flow = jnp.concatenate([
         jnp.zeros((nl, ng + nd), dt),
         jnp.diag(1.0 / sys.b_susceptance),
-        -br_up[:, None] * sys.incidence,
+        -br_up[:, None] * sys.incidence * ref_mask[None, :],
     ], axis=1)
     A = jnp.concatenate([bal, flow], axis=0)
 
@@ -109,13 +115,17 @@ def build_state_lp(sys: System, gen_up: jax.Array, br_up: jax.Array,
     pmin = sys.gen_pmin if compat.enforce_pmin else jnp.zeros((ng,), dt)
     pmax = jnp.maximum(sys.gen_pmax, pmin + eps)
     pmax = jnp.where(sys.gen_pmax > 0, pmax, 1.0)  # zero-cap: dummy box
+    # Per-bus angle boxes (System.theta_bound, a provable min-path bound
+    # vs the gauge-fixed reference) capped by the configured theta_max:
+    # tight boxes keep the float32 normal matrices well-conditioned on
+    # large tiled systems (the flat +-6 rad box left near-null inter-area
+    # modes that stalled the IPM at m >~ 190).
+    tb = jnp.minimum(sys.theta_bound, theta_max)
     l = jnp.concatenate([
-        pmin, jnp.zeros((nd,), dt), -sys.br_rate,
-        jnp.full((nb,), -theta_max, dt),
+        pmin, jnp.zeros((nd,), dt), -sys.br_rate, -tb,
     ])
     u = jnp.concatenate([
-        pmax, jnp.maximum(load_pu, eps), sys.br_rate,
-        jnp.full((nb,), theta_max, dt),
+        pmax, jnp.maximum(load_pu, eps), sys.br_rate, tb,
     ])
     return c, A, b, l, u
 

@@ -174,11 +174,23 @@ def blocked_cho_solve(factor, r: jax.Array) -> jax.Array:
     next to the O(m^3) factorization.
     """
     panels, Ls, Loff, M = factor
+
+    def residual(x):
+        return r - jnp.einsum("bmn,bn->bm", M, x)
+
+    # Keep-best across refinement iterates: on the rare lane whose panel
+    # factor lost positive definiteness despite the lift (cholesky_bm
+    # clamps the pivot and produces a poor factor), refinement can
+    # diverge — never return an iterate worse than the best seen.
     x = _blocked_substitute(panels, Ls, Loff, r)
+    best_x, best_rn = x, jnp.max(jnp.abs(residual(x)), axis=1)
     for _ in range(REFINE_STEPS):
-        resid = r - jnp.einsum("bmn,bn->bm", M, x)
-        x = x + _blocked_substitute(panels, Ls, Loff, resid)
-    return x
+        x = x + _blocked_substitute(panels, Ls, Loff, residual(x))
+        rn = jnp.max(jnp.abs(residual(x)), axis=1)
+        better = rn < best_rn
+        best_x = jnp.where(better[:, None], x, best_x)
+        best_rn = jnp.minimum(rn, best_rn)
+    return best_x
 
 
 def _blocked_substitute(panels, Ls, Loff, r: jax.Array) -> jax.Array:
