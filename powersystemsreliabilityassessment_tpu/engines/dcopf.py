@@ -55,6 +55,11 @@ class EvalResult(NamedTuple):
     failure: jax.Array       # [B] bool: dns above the failure-flag threshold
     primal_residual: jax.Array  # [B] LP feasibility diagnostics
     gen_dispatch: jax.Array  # [B, ng] p.u. (diagnostics / tests)
+    infeasible: jax.Array    # [B] bool: state has NO feasible dispatch
+    #   (committed Pmin > demand under enforce_pmin). The reference's
+    #   try/catch silently records zero on such MATPOWER failures
+    #   (seqMain.m:117-126); here the lane is flagged and counted so
+    #   studies can report it explicitly.
 
 
 class Certificate(NamedTuple):
@@ -347,6 +352,27 @@ def certify_states(sys: System, comp_down: jax.Array, load_pu: jax.Array,
                        shed=cand, dispatch=dispatch)
 
 
+def overgen_infeasible(sys: System, comp_down: jax.Array,
+                       load_pu: jax.Array, compat: CompatFlags) -> jax.Array:
+    """[B] bool: the state's LP has no feasible point because committed
+    minimum generation exceeds total demand.
+
+    Only possible with ``compat.enforce_pmin`` (the reference's MATPOWER
+    case carries nonzero Pmin; ``runopf`` fails on such states and the
+    try/catch records zero curtailment, seqMain.m:117-126). With the
+    default ``enforce_pmin=False`` every state is feasible and this is
+    constant-False.
+    """
+    if not compat.enforce_pmin:
+        return jnp.zeros((comp_down.shape[0],), bool)
+    ng = sys.n_gen
+    dt = sys.bus_pd.dtype
+    gen_up = 1.0 - comp_down[:, :ng].astype(dt)
+    has_cap = (sys.gen_pmax > 0).astype(dt)
+    pmin_committed = (gen_up * has_cap) @ sys.gen_pmin
+    return pmin_committed > jnp.sum(load_pu, axis=1) + 1e-9
+
+
 def _solve_one(sys: System, comp_down: jax.Array, load_pu: jax.Array,
                compat: CompatFlags, ipm: IPMConfig):
     ng, nd, nl = sys.n_gen, sys.n_load, sys.n_branch
@@ -417,7 +443,9 @@ def _finalize(sys: System, compat: CompatFlags, shed, pg, res, comp_down,
         & (dns[:, None] > 0), nodal, 0.0)
     failure = dns > compat.nsq_fail_flag_threshold_mw
     return EvalResult(dns_mw=dns, nodal_mw=nodal, failure=failure,
-                      primal_residual=res, gen_dispatch=pg)
+                      primal_residual=res, gen_dispatch=pg,
+                      infeasible=overgen_infeasible(sys, comp_down, load_pu,
+                                                    compat))
 
 
 @partial(jax.jit, static_argnames=("compat", "ipm"))
@@ -520,7 +548,9 @@ def evaluate_states_screened(sys: System, comp_down: jax.Array,
     failure = dns > compat.nsq_fail_flag_threshold_mw
     n_overflow = jnp.maximum(jnp.sum(need_lp) - max_lp, 0)
     return EvalResult(dns_mw=dns, nodal_mw=nodal, failure=failure,
-                      primal_residual=res, gen_dispatch=pg), n_overflow
+                      primal_residual=res, gen_dispatch=pg,
+                      infeasible=overgen_infeasible(sys, comp_down, load_pu,
+                                                    compat)), n_overflow
 
 
 def copper_sheet_bound(sys: System, comp_down: jax.Array,

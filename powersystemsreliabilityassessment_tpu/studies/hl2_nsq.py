@@ -57,13 +57,14 @@ def make_nsq_batch_step(sys: System, mesh: Mesh, batch_per_device: int,
             sys, down, load, max_lp, compat, ipm, nodal_mode)
         m = accumulators.batch_moments(res.dns_mw, res.nodal_mw, res.failure,
                                        down)
-        return accumulators.psum_moments(m), jax.lax.psum(
-            n_over, meshlib.SCENARIO_AXIS)
+        return (accumulators.psum_moments(m),
+                jax.lax.psum(n_over, meshlib.SCENARIO_AXIS),
+                jax.lax.psum(jnp.sum(res.infeasible), meshlib.SCENARIO_AXIS))
 
     return jax.jit(shard_map(
         device_step, mesh=mesh,
         in_specs=P(),
-        out_specs=(accumulators.MOMENTS_OUT_SPECS, P()),
+        out_specs=(accumulators.MOMENTS_OUT_SPECS, P(), P()),
         check_vma=False,
     ))
 
@@ -83,6 +84,9 @@ class NSQResult:
     lole_history: list
     plc_history: list
     overflow_states: int
+    # States with no feasible dispatch (enforce_pmin only) — the reference
+    # silently records zero for these (seqMain.m:117-126); reported here.
+    infeasible_states: int = 0
 
     def to_dict(self) -> dict[str, Any]:
         d = dataclasses.asdict(self)
@@ -110,7 +114,7 @@ def run_nsq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
 
     stats = accumulators.RunningStats()
     histories = {"beta": [], "edns": [], "lole": [], "plc": []}
-    batch_idx, overflow = 0, 0
+    batch_idx, overflow, infeasible = 0, 0, 0
 
     if checkpointer is not None:
         restored = checkpointer.restore()
@@ -119,6 +123,7 @@ def run_nsq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
             histories = restored["histories"]
             batch_idx = int(restored["batch_idx"])
             overflow = int(restored.get("overflow", 0))
+            infeasible = int(restored.get("infeasible", 0))
 
     max_lp = None  # step's default
     # Double-buffered host loop: dispatch batch k+1 before synchronizing on
@@ -130,8 +135,8 @@ def run_nsq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
 
     def consume(out) -> bool:
         """Fold a finished batch into stats; True if a redo is needed."""
-        nonlocal max_lp, step, overflow
-        moments, n_over = out
+        nonlocal max_lp, step, overflow, infeasible
+        moments, n_over, n_infeas = out
         if int(n_over) > 0:
             # Adaptive LP buffer: grow and REDO (keys are deterministic,
             # so the redo is exact, not a resample).
@@ -145,6 +150,7 @@ def run_nsq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
                     antithetic=cfg.antithetic, nodal_mode=cfg.nodal_mode)
                 return True
             overflow += int(n_over)  # buffer already at batch size
+        infeasible += int(n_infeas)
         stats.update(moments)
         histories["beta"].append(stats.beta)
         histories["edns"].append(stats.edns)
@@ -159,7 +165,8 @@ def run_nsq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
             checkpointer.save({"stats": stats.state(),
                                "histories": histories,
                                "batch_idx": batch_idx,
-                               "overflow": overflow})
+                               "overflow": overflow,
+                               "infeasible": infeasible})
         return False
 
     global_batch = bpd * n_dev
@@ -196,4 +203,5 @@ def run_nsq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
         lole_history=histories["lole"],
         plc_history=histories["plc"],
         overflow_states=overflow,
+        infeasible_states=infeasible,
     )

@@ -67,7 +67,8 @@ def _year_eval(sys: System, compat: CompatFlags, ipm: IPMConfig,
     comp_fail = flag_f @ down_h.astype(dns.dtype)         # [ncomp]
     loss_hours = dlc
     return (ens, plc, nlc.astype(dns.dtype), dlc, ens / hours,
-            nodal, comp_fail, loss_hours, n_over)
+            nodal, comp_fail, loss_hours, n_over,
+            jnp.sum(res.infeasible))
 
 
 def make_seq_batch_step(sys: System, mesh: Mesh, years_per_device: int,
@@ -88,7 +89,8 @@ def make_seq_batch_step(sys: System, mesh: Mesh, years_per_device: int,
             kk))(keys)
         # Per-year vectors are gathered (all years visible on all hosts);
         # scalar accumulators are psum-reduced.
-        ens, plc, nlc, dlc, edns, nodal, comp_fail, loss_h, n_over = outs
+        (ens, plc, nlc, dlc, edns, nodal, comp_fail, loss_h, n_over,
+         n_infeas) = outs
         gather = lambda a: jax.lax.all_gather(
             a, meshlib.SCENARIO_AXIS, tiled=True)
         return (gather(ens), gather(plc), gather(nlc), gather(dlc),
@@ -96,11 +98,12 @@ def make_seq_batch_step(sys: System, mesh: Mesh, years_per_device: int,
                 jax.lax.psum(jnp.sum(nodal, 0), meshlib.SCENARIO_AXIS),
                 jax.lax.psum(jnp.sum(comp_fail, 0), meshlib.SCENARIO_AXIS),
                 jax.lax.psum(jnp.sum(loss_h), meshlib.SCENARIO_AXIS),
-                jax.lax.psum(jnp.sum(n_over), meshlib.SCENARIO_AXIS))
+                jax.lax.psum(jnp.sum(n_over), meshlib.SCENARIO_AXIS),
+                jax.lax.psum(jnp.sum(n_infeas), meshlib.SCENARIO_AXIS))
 
     return jax.jit(shard_map(
         device_step, mesh=mesh, in_specs=P(),
-        out_specs=(P(), P(), P(), P(), P(), P(), P(), P(), P()),
+        out_specs=(P(),) * 10,
         check_vma=False,
     ))
 
@@ -121,6 +124,9 @@ class SEQResult:
     cov_history: list
     overflow_hours: int
     annual_ens: list = dataclasses.field(default_factory=list)
+    # Hours with no feasible dispatch (enforce_pmin only); the reference's
+    # try/catch silently records zero for these (seqMain.m:117-126).
+    infeasible_hours: int = 0
 
     def to_dict(self) -> dict[str, Any]:
         d = dataclasses.asdict(self)
@@ -181,7 +187,7 @@ def run_seq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
 
     stats = AnnualStats()
     cov_history, eens_history = [], []
-    batch_idx, overflow = 0, 0
+    batch_idx, overflow, infeasible = 0, 0, 0
 
     if checkpointer is not None:
         restored = checkpointer.restore()
@@ -195,6 +201,7 @@ def run_seq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
             eens_history = restored["eens_history"]
             batch_idx = int(restored["batch_idx"])
             overflow = int(restored.get("overflow", 0))
+            infeasible = int(restored.get("infeasible", 0))
 
     # Double-buffered host loop (see hl2_nsq.py): dispatch batch k+1 before
     # synchronizing on batch k; convergence check lags one batch.
@@ -202,8 +209,9 @@ def run_seq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
     pending = None
 
     def consume(out) -> bool:
-        nonlocal max_lp, step, overflow
-        ens, plc, nlc, dlc, edns, nodal, comp_fail, loss_h, n_over = out
+        nonlocal max_lp, step, overflow, infeasible
+        (ens, plc, nlc, dlc, edns, nodal, comp_fail, loss_h, n_over,
+         n_infeas) = out
         if int(n_over) > 0 and max_lp < hours:
             max_lp = min(2 * max_lp, hours)
             print(f"LP buffer overflow ({int(n_over)} h); growing max_lp "
@@ -215,6 +223,7 @@ def run_seq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
         stats.update_years(ens, plc, nlc, dlc, edns, nodal, comp_fail,
                            float(loss_h))
         overflow += int(n_over)
+        infeasible += int(n_infeas)
         eens_history.append(stats.eens)
         cov_history.append(stats.cov)
         n_batches = len(eens_history)
@@ -226,7 +235,8 @@ def run_seq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
                 "stats": dataclasses.asdict(stats),
                 "cov_history": cov_history,
                 "eens_history": eens_history,
-                "batch_idx": batch_idx, "overflow": overflow})
+                "batch_idx": batch_idx, "overflow": overflow,
+                "infeasible": infeasible})
         return False
 
     while (batch_idx * years_per_batch < cfg.max_years
@@ -260,4 +270,5 @@ def run_seq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
         cov_history=cov_history,
         overflow_hours=overflow,
         annual_ens=list(stats.ens),
+        infeasible_hours=infeasible,
     )

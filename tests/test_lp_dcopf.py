@@ -238,6 +238,22 @@ def test_enforce_pmin_overgeneration_degrades_gracefully(sys24):
     res = dcopf.evaluate_states(sys24, jnp.asarray(down),
                                 jnp.asarray(loads), compat_pm, IPM)
     assert float(res.dns_mw[0]) == 0.0
+    # ... and — unlike the reference — the infeasibility is DETECTED and
+    # flagged, not silent.
+    assert bool(res.infeasible[0])
+    # A peak-load state with the same fleet is feasible -> not flagged.
+    res_peak = dcopf.evaluate_states(sys24, jnp.asarray(down),
+                                     jnp.asarray(_peak_loads(sys24, 1)),
+                                     compat_pm, IPM)
+    assert not bool(res_peak.infeasible[0])
+    # Screened path carries the same flags.
+    scr, _ = dcopf.evaluate_states_screened(
+        sys24, jnp.asarray(down), jnp.asarray(loads), 8, compat_pm, IPM)
+    assert bool(scr.infeasible[0])
+    # Default compat (enforce_pmin=False): never infeasible.
+    res_def = dcopf.evaluate_states(sys24, jnp.asarray(down),
+                                    jnp.asarray(loads), COMPAT, IPM)
+    assert not bool(res_def.infeasible[0])
 
 
 def test_pair_outage_certificate_flows_exact(sys24):

@@ -164,7 +164,7 @@ def test_checkpoint_resume_equals_uninterrupted(tmp_path):
     step = make_nsq_batch_step(sys_, mesh, bpd, CompatFlags(), IPMConfig())
     root = _jax.random.key(13)
     for b in range(2):
-        m, _ = step(_jax.random.fold_in(root, b))
+        m, _, _ = step(_jax.random.fold_in(root, b))
         stats.update(m)
     ck.save({"stats": stats.state(), "histories": {
         "beta": [], "edns": [], "lole": [], "plc": []},
