@@ -46,6 +46,12 @@ def main() -> None:
 
     ma = sub.add_parser("multiarea")
     ma.add_argument("--years", type=int, default=100)
+    ma.add_argument("--system", default="demo",
+                    choices=["demo", "rts96", "ring"],
+                    help="demo: reference 2-area; rts96: 3 areas from the "
+                         "network case; ring: N-area tiled ring")
+    ma.add_argument("--areas", type=int, default=4,
+                    help="ring size (--system ring)")
 
     sc = sub.add_parser("scaleup")
     sc.add_argument("--case", default="rts96")
@@ -106,7 +112,12 @@ def main() -> None:
         report.plot_tail_risk(res, "results/tail_risk.png")
     elif args.study == "multiarea":
         from powersystemsreliabilityassessment_tpu.studies import multiarea_demo
-        multiarea_demo.run_demo(args.years)
+        if args.system == "rts96":
+            print(json.dumps(multiarea_demo.run_rts96_hl15(args.years)))
+        elif args.system == "ring":
+            multiarea_demo.run_nring_demo(args.areas, args.years)
+        else:
+            multiarea_demo.run_demo(args.years)
     elif args.study == "scaleup":
         from powersystemsreliabilityassessment_tpu.studies import scaleup
         print(json.dumps(scaleup.run(case_name=args.case,

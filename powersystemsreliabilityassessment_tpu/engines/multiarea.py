@@ -51,6 +51,58 @@ class MultiAreaSystem:
         return len(self.area_names)
 
 
+def areas_from_case(case, area_of_bus: np.ndarray,
+                    hourly_factors: np.ndarray,
+                    area_names: list | None = None) -> MultiAreaSystem:
+    """Build the HL1.5 multi-area view of a full network case.
+
+    Generalizes the reference's hand-built two-area demo
+    (AdequacyAssessmentII.jl:259-269) to ANY :class:`CaseData` plus a
+    per-bus area assignment: each area aggregates its generating units
+    (zero-capacity units, i.e. synchronous condensers, are dropped — they
+    carry no adequacy), each inter-area branch becomes one tie line with
+    its continuous rating as capacity (parallel ties stay separate
+    entries; the curtailment LP handles them natively), and each area's
+    chronological load is its summed bus peak load scaled by
+    ``hourly_factors``.
+
+    Args:
+      case: a :class:`~..core.cases.CaseData`.
+      area_of_bus: [nb] int area index per bus (e.g. ``arange(nb) // 24``
+        for tiled RTS constructions).
+      hourly_factors: [H] load-profile factors (1.0 = bus peak).
+    """
+    area_of_bus = np.asarray(area_of_bus, np.int64)
+    n_areas = int(area_of_bus.max()) + 1
+    if area_names is None:
+        area_names = [chr(ord("A") + a) if n_areas <= 26 else f"Area{a}"
+                      for a in range(n_areas)]
+    gen_area = area_of_bus[np.asarray(case.gen_bus)]
+    real = np.asarray(case.gen_pmax) > 0
+    gen_capacity = [np.asarray(case.gen_pmax)[real & (gen_area == a)]
+                    for a in range(n_areas)]
+    gen_mttf = [np.asarray(case.gen_mttf)[real & (gen_area == a)]
+                for a in range(n_areas)]
+    gen_mttr = [np.asarray(case.gen_mttr)[real & (gen_area == a)]
+                for a in range(n_areas)]
+    af = area_of_bus[np.asarray(case.br_from)]
+    at = area_of_bus[np.asarray(case.br_to)]
+    inter = af != at
+    factors = np.asarray(hourly_factors, np.float64)
+    area_peak = np.zeros(n_areas)
+    np.add.at(area_peak, area_of_bus, np.asarray(case.bus_pd))
+    return MultiAreaSystem(
+        area_names=area_names,
+        gen_capacity=gen_capacity,
+        gen_mttf=gen_mttf,
+        gen_mttr=gen_mttr,
+        hourly_load=area_peak[:, None] * factors[None, :],
+        tie_from=af[inter].astype(np.int32),
+        tie_to=at[inter].astype(np.int32),
+        tie_cap=np.asarray(case.br_rate)[inter].astype(np.float64),
+    )
+
+
 def curtail_isolated(margins: jax.Array) -> jax.Array:
     """[..., A] -> [..., A]: curtailment = -min(margin, 0)."""
     return jnp.maximum(-margins, 0.0)
@@ -80,7 +132,14 @@ def _build_interconnect_lp(margins, tie_from, tie_to, tie_cap, big):
          -jnp.eye(A_areas, dtype=dt)],
         axis=1)
     b = -margins
-    c = jnp.concatenate([jnp.zeros((2 * T,), dt), jnp.ones((A_areas,), dt),
+    # Tiny cost on tie flows: among the (often degenerate) minimum-total-
+    # curtailment optima, pick the MINIMAL-FLOW one — no power is routed
+    # through a deficit area just to re-shed it elsewhere. This matches the
+    # reference max-flow's augmenting-path behavior (surplus moves only
+    # toward unserved demand) and makes the per-area split deterministic.
+    flow_eps = jnp.asarray(1e-3, dt)
+    c = jnp.concatenate([jnp.full((2 * T,), flow_eps, dt),
+                         jnp.ones((A_areas,), dt),
                          jnp.zeros((A_areas,), dt)])
     l = jnp.zeros((2 * T + 2 * A_areas,), dt)
     u = jnp.concatenate([tie_cap, tie_cap, curtail_cap,

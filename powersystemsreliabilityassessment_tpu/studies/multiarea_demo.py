@@ -48,29 +48,44 @@ def run_demo(n_years: int = 100, seed: int = 0, hours: int = 8760) -> dict:
 
 
 def rts96_three_area_system(hours: int = 8736) -> "multiarea.MultiAreaSystem":
-    """HL1.5 view of RTS-96: three RTS-24 areas, aggregate tie capacities
-    from the published inter-area connections (A-B: 1175 MW over three
-    ties, B-C: 500, C-A: 500), RTS-79 chronological loads per area."""
-    import numpy as np
-
+    """HL1.5 view of RTS-96, derived directly from the network case: three
+    RTS-24 areas with the five published inter-area ties (107-203 at
+    175 MW plus 113-215/123-217/223-318/325-121 at 500 MW each, so A-B
+    aggregates to 1175 MW of tie capability) and RTS-79 chronological
+    loads per area."""
     from powersystemsreliabilityassessment_tpu.core import cases, load_profile
 
-    case = cases.rts24()
-    factors = load_profile.load_factors(hours)
-    load = (load_profile.PEAK_MW * factors).astype(np.float64)
-    gens = case.gen_pmax[case.gen_pmax > 0]
-    mttf = case.gen_mttf[case.gen_pmax > 0]
-    mttr = case.gen_mttr[case.gen_pmax > 0]
-    return multiarea.MultiAreaSystem(
-        area_names=["A", "B", "C"],
-        gen_capacity=[gens, gens, gens],
-        gen_mttf=[mttf, mttf, mttf],
-        gen_mttr=[mttr, mttr, mttr],
-        hourly_load=np.stack([load, load, load]),
-        tie_from=np.array([0, 1, 2], np.int32),
-        tie_to=np.array([1, 2, 0], np.int32),
-        tie_cap=np.array([1175.0, 500.0, 500.0]),
-    )
+    case = cases.rts96()
+    return multiarea.areas_from_case(
+        case, np.arange(case.n_bus) // 24, load_profile.load_factors(hours))
+
+
+def ring_system(n_areas: int, hours: int = 8736) -> "multiarea.MultiAreaSystem":
+    """N-area ring built from the tiled RTS construction (two 500 MW ties
+    between consecutive areas) — the >2-area generalization of the
+    reference's two-area demo."""
+    from powersystemsreliabilityassessment_tpu.core import cases, load_profile
+
+    case = cases.replicate_case(cases.rts24(), n_areas)
+    return multiarea.areas_from_case(
+        case, np.arange(case.n_bus) // 24, load_profile.load_factors(hours))
+
+
+def run_nring_demo(n_areas: int = 4, n_years: int = 50, seed: int = 0,
+                   hours: int = 8736) -> dict:
+    """ISOLATED vs INTERCONNECTED on an N-area ring (N > 2)."""
+    sys = ring_system(n_areas, hours)
+    out = {}
+    for policy in (multiarea.ISOLATED, multiarea.INTERCONNECTED):
+        lole, eue = multiarea.run_multiarea_sequential(
+            sys, policy, n_years, seed=seed)
+        out[policy] = {"lole": lole.tolist(), "eue": eue.tolist()}
+    print(f"\n=== {n_areas}-AREA RING ===")
+    for policy, res in out.items():
+        for a, name in enumerate(sys.area_names):
+            print(f"{policy:<15} | {name:<6} | LOLE {res['lole'][a]:8.2f} "
+                  f"h/yr | EUE {res['eue'][a]:10.2f} MWh/yr")
+    return out
 
 
 def run_rts96_hl15(n_years: int = 50, seed: int = 0,

@@ -111,6 +111,46 @@ class TestMultiArea:
                                           jnp.asarray([1.0, 1.0]))
         assert float(out[0, 0]) == pytest.approx(4.0, abs=1e-2)
 
+    def test_three_area_closed_form(self):
+        # A(+100) -- 30 --> B(-50), B -- 40 --> C(-80), A -- 10 --> C.
+        # B keeps all 30 it can import (curtails 20); C gets only the
+        # direct 10 from A (B has no surplus to forward), curtails 70.
+        m = jnp.asarray([[100.0, -50.0, -80.0]])
+        tf = jnp.asarray([0, 1, 0], jnp.int32)
+        tt = jnp.asarray([1, 2, 2], jnp.int32)
+        caps = jnp.asarray([30.0, 40.0, 10.0])
+        out = multiarea.solve_curtailment(m, tf, tt, caps)
+        assert float(out[0, 0]) == pytest.approx(0.0, abs=1e-3)
+        assert float(out[0, 1]) == pytest.approx(20.0, abs=0.1)
+        assert float(out[0, 2]) == pytest.approx(70.0, abs=0.1)
+
+    def test_areas_from_case_rts96(self):
+        from powersystemsreliabilityassessment_tpu.core import cases
+        case = cases.rts96()
+        sys = multiarea.areas_from_case(
+            case, np.arange(case.n_bus) // 24, np.ones(10))
+        assert sys.n_areas == 3
+        # 5 published inter-area ties; A-B capability 175+500+500 = 1175
+        assert sys.tie_cap.shape == (5,)
+        ab = sys.tie_cap[((sys.tie_from == 0) & (sys.tie_to == 1))
+                         | ((sys.tie_from == 1) & (sys.tie_to == 0))]
+        assert ab.sum() == pytest.approx(1175.0)
+        # per-area fleet: 32 real units (sync condenser dropped), 3405 MW
+        for a in range(3):
+            assert len(sys.gen_capacity[a]) == 32
+            assert sys.gen_capacity[a].sum() == pytest.approx(3405.0)
+        # per-area peak load = RTS-24 system peak
+        assert sys.hourly_load[:, 0] == pytest.approx(2850.0)
+
+    def test_nring_interconnection_helps(self):
+        out = multiarea_demo.run_nring_demo(n_areas=4, n_years=3,
+                                            hours=800)
+        iso = out[multiarea.ISOLATED]
+        inter = out[multiarea.INTERCONNECTED]
+        assert len(iso["lole"]) == 4
+        for a in range(4):
+            assert inter["eue"][a] <= iso["eue"][a] + 1e-6
+
 
 class TestHL1Comparison:
     def test_three_engines_agree(self):
