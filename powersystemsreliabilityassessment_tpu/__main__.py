@@ -27,6 +27,8 @@ def main() -> None:
     nsq.add_argument("--seed", type=int, default=0)
     nsq.add_argument("--out", default="results")
     nsq.add_argument("--checkpoint", default=None)
+    nsq.add_argument("--checkpoint-backend", default="json",
+                     choices=["json", "orbax"])
 
     seq = sub.add_parser("seq")
     seq.add_argument("--case", default="rts24")
@@ -35,6 +37,8 @@ def main() -> None:
     seq.add_argument("--seed", type=int, default=0)
     seq.add_argument("--out", default="results")
     seq.add_argument("--checkpoint", default=None)
+    seq.add_argument("--checkpoint-backend", default="json",
+                     choices=["json", "orbax"])
 
     hl1 = sub.add_parser("hl1")
     hl1.add_argument("--iterations", type=int, default=5000)
@@ -65,13 +69,15 @@ def main() -> None:
     if args.study == "nsq":
         from powersystemsreliabilityassessment_tpu.core import cases
         from powersystemsreliabilityassessment_tpu.runtime.checkpoint import (
-            Checkpointer)
+            Checkpointer, OrbaxCheckpointer)
         from powersystemsreliabilityassessment_tpu.studies.hl2_nsq import (
             run_nsq_study)
         from powersystemsreliabilityassessment_tpu.utils import report
         from powersystemsreliabilityassessment_tpu.utils.config import MCSConfig
         case = getattr(cases, args.case)()
-        ck = Checkpointer(args.checkpoint) if args.checkpoint else None
+        cls = (OrbaxCheckpointer if args.checkpoint_backend == "orbax"
+               else Checkpointer)
+        ck = cls(args.checkpoint) if args.checkpoint else None
         res = run_nsq_study(case, MCSConfig(
             batch_size=args.batch, max_samples=args.samples,
             beta_limit=args.beta, seed=args.seed), checkpointer=ck)
@@ -85,13 +91,15 @@ def main() -> None:
     elif args.study == "seq":
         from powersystemsreliabilityassessment_tpu.core import cases
         from powersystemsreliabilityassessment_tpu.runtime.checkpoint import (
-            Checkpointer)
+            Checkpointer, OrbaxCheckpointer)
         from powersystemsreliabilityassessment_tpu.studies.hl2_seq import (
             run_seq_study)
         from powersystemsreliabilityassessment_tpu.utils import report
         from powersystemsreliabilityassessment_tpu.utils.config import MCSConfig
         case = getattr(cases, args.case)()
-        ck = Checkpointer(args.checkpoint) if args.checkpoint else None
+        cls = (OrbaxCheckpointer if args.checkpoint_backend == "orbax"
+               else Checkpointer)
+        ck = cls(args.checkpoint) if args.checkpoint else None
         res = run_seq_study(case, MCSConfig(
             max_years=args.years, cov_threshold=args.cov, seed=args.seed),
             checkpointer=ck)

@@ -60,3 +60,40 @@ class Checkpointer:
     def clear(self) -> None:
         if os.path.exists(self.path):
             os.remove(self.path)
+
+
+class OrbaxCheckpointer:
+    """Orbax-backed checkpointer with the same save/restore/clear API.
+
+    Drop-in alternative to the JSON :class:`Checkpointer` for
+    multi-host/cloud-storage deployments: orbax writes atomically
+    (tmp-dir + rename), supports GCS-style paths, and scales to large
+    array state. For the tiny accumulator states here the JSON backend is
+    equally correct; both restore into the same study-loop logic.
+
+    ``path`` is a DIRECTORY (orbax checkpoints are directories, unlike
+    the JSON file backend).
+    """
+
+    def __init__(self, path: str):
+        import orbax.checkpoint as ocp
+
+        self.path = os.path.abspath(path)
+        self._ckptr = ocp.PyTreeCheckpointer()
+
+    def save(self, state: dict) -> None:
+        # Orbax treats Python lists as pytree branches; history lists of
+        # floats round-trip as lists of scalars, which is what the study
+        # loops expect.
+        self._ckptr.save(self.path, _to_jsonable(state), force=True)
+
+    def restore(self) -> dict | None:
+        if not os.path.isdir(self.path):
+            return None
+        return _from_jsonable(self._ckptr.restore(self.path))
+
+    def clear(self) -> None:
+        import shutil
+
+        if os.path.isdir(self.path):
+            shutil.rmtree(self.path)

@@ -30,6 +30,28 @@ def test_checkpointer_roundtrip_and_clear(tmp_path):
     assert ck.restore() is None
 
 
+def test_orbax_checkpointer_roundtrip(tmp_path):
+    from powersystemsreliabilityassessment_tpu.runtime.checkpoint import (
+        OrbaxCheckpointer)
+    ck = OrbaxCheckpointer(str(tmp_path / "orbax_ckpt"))
+    assert ck.restore() is None
+    state = {"stats": {"n": 256.0, "sum_dns": 3.5,
+                       "nodal": np.arange(24.0)},
+             "histories": {"beta": [0.3, 0.2], "edns": [1.0, 1.1]},
+             "batch_idx": 2, "overflow": 0}
+    ck.save(state)
+    back = ck.restore()
+    assert float(back["stats"]["n"]) == 256.0
+    np.testing.assert_array_equal(np.asarray(back["stats"]["nodal"]),
+                                  np.arange(24.0))
+    assert [float(x) for x in back["histories"]["beta"]] == [0.3, 0.2]
+    assert int(back["batch_idx"]) == 2
+    ck.save({**state, "batch_idx": 3})  # overwrite (force) path
+    assert int(ck.restore()["batch_idx"]) == 3
+    ck.clear()
+    assert ck.restore() is None
+
+
 def test_report_helpers(tmp_path):
     imp = np.array([0.1, 0.5, 0.02, 0.4])
     top = report.top_components(imp, n_gen=2, k=3)
