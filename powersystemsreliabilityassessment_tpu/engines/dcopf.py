@@ -135,6 +135,49 @@ def build_state_lp(sys: System, gen_up: jax.Array, br_up: jax.Array,
     return c, A, b, l, u
 
 
+def build_state_lp_vectors(sys: System, gen_up: jax.Array,
+                           br_up: jax.Array, load_pu: jax.Array,
+                           compat: CompatFlags, theta_max: float):
+    """Batched (c, b, l, u, colscale) WITHOUT materializing A.
+
+    The constraint matrix itself is represented structurally (see
+    ``ops/ipm_fused.LPStructure``): across lanes it differs from the
+    shared blocks only by ``colscale`` (generator availability on the
+    balance columns) and ``br_up`` (branch status on the flow rows).
+    Bound/cost semantics identical to :func:`build_state_lp`.
+    """
+    ng, nd, nl, nb = sys.n_gen, sys.n_load, sys.n_branch, sys.n_bus
+    dt = sys.bus_pd.dtype
+    B = gen_up.shape[0]
+
+    has_cap = (sys.gen_pmax > 0).astype(dt)
+    colscale = jnp.concatenate([
+        gen_up * has_cap[None, :],
+        jnp.ones((B, nd + nl + nb), dt)], axis=1)
+
+    c = jnp.broadcast_to(jnp.concatenate([
+        jnp.zeros((ng,), dt), jnp.ones((nd,), dt),
+        jnp.zeros((nl + nb,), dt)])[None, :], (B, ng + nd + nl + nb))
+
+    b = jnp.concatenate([load_pu @ sys.load_onehot.T,
+                         jnp.zeros((B, nl), dt)], axis=1)
+
+    eps = jnp.asarray(1e-6, dt)
+    pmin = sys.gen_pmin if compat.enforce_pmin else jnp.zeros((ng,), dt)
+    pmax = jnp.maximum(sys.gen_pmax, pmin + eps)
+    pmax = jnp.where(sys.gen_pmax > 0, pmax, 1.0)
+    tb = jnp.minimum(sys.theta_bound, theta_max)
+    l = jnp.broadcast_to(jnp.concatenate([
+        pmin, jnp.zeros((nd,), dt), -sys.br_rate, -tb])[None, :],
+        (B, ng + nd + nl + nb))
+    u = jnp.concatenate([
+        jnp.broadcast_to(pmax[None, :], (B, ng)),
+        jnp.maximum(load_pu, eps),
+        jnp.broadcast_to(sys.br_rate[None, :], (B, nl)),
+        jnp.broadcast_to(tb[None, :], (B, nb))], axis=1)
+    return c, b, l, u, colscale
+
+
 def connected_to_ref(sys: System, br_up: jax.Array) -> jax.Array:
     """[B, nb] bool: bus is in the reference bus (bus 0) island.
 
@@ -385,6 +428,13 @@ def _solve_one(sys: System, comp_down: jax.Array, load_pu: jax.Array,
     return shed, sol.x[:ng], sol.primal_residual
 
 
+# The fused whole-iteration kernel holds the [m, m, 128] normal-matrix
+# tile in VMEM; m <= 72 keeps it (plus state vectors and the shared
+# structure matrices) comfortably inside the 16 MB budget. Larger systems
+# use the generic materialized-A path with the blocked Cholesky.
+_FUSED_MAX_M = 72
+
+
 def _solve_batch(sys: System, comp_down: jax.Array, load_pu: jax.Array,
                  compat: CompatFlags, ipm: IPMConfig):
     """Batched-native LP path (Pallas kernels on TPU; padded to 128 lanes)."""
@@ -392,8 +442,10 @@ def _solve_batch(sys: System, comp_down: jax.Array, load_pu: jax.Array,
     from powersystemsreliabilityassessment_tpu.ops.batched_chol import LANES
 
     ng, nd, nl = sys.n_gen, sys.n_load, sys.n_branch
+    n_vars = ng + nd + nl + sys.n_bus
     B = comp_down.shape[0]
-    pad = (-B) % LANES if jax.default_backend() == "tpu" else 0
+    on_tpu = jax.default_backend() == "tpu"
+    pad = (-B) % LANES if on_tpu else 0
     if pad:
         comp_down = jnp.concatenate(
             [comp_down, jnp.zeros((pad, comp_down.shape[1]),
@@ -402,16 +454,30 @@ def _solve_batch(sys: System, comp_down: jax.Array, load_pu: jax.Array,
             [load_pu, jnp.broadcast_to(load_pu[:1], (pad, nd))], axis=0)
 
     up = 1.0 - comp_down.astype(sys.bus_pd.dtype)
-    c, A, b, l, u = jax.vmap(
-        lambda gu, bu, ld: build_state_lp(sys, gu, bu, ld, compat,
-                                          ipm.theta_max))(
-        up[:, :ng], up[:, ng:ng + nl], load_pu)
-    sol = lp_ipm_batched.solve_box_lp_batched(c, A, b, l, u, ipm)
+    gen_up, br_up = up[:, :ng], up[:, ng:ng + nl]
+    if on_tpu and sys.n_bus + nl <= _FUSED_MAX_M:
+        # Fused whole-iteration Pallas kernel on the structured LP — no
+        # [B, m, n] constraint tensor is ever materialized.
+        from powersystemsreliabilityassessment_tpu.engines import (
+            lp_ipm_structured)
+        from powersystemsreliabilityassessment_tpu.ops.ipm_fused import (
+            build_structure)
+        st = build_structure(sys)
+        c, b, l, u, colscale = build_state_lp_vectors(
+            sys, gen_up, br_up, load_pu, compat, ipm.theta_max)
+        sol = lp_ipm_structured.solve_box_lp_structured(
+            st, colscale, br_up, c, b, l, u, ipm)
+    else:
+        c, A, b, l, u = jax.vmap(
+            lambda gu, bu, ld: build_state_lp(sys, gu, bu, ld, compat,
+                                              ipm.theta_max))(
+            gen_up, br_up, load_pu)
+        sol = lp_ipm_batched.solve_box_lp_batched(c, A, b, l, u, ipm)
     shed = sol.x[:B, ng:ng + nd]
     # Conservative lane-quality score: primal infeasibility plus the
     # duality-gap estimate (2n*mu) — a primal-feasible but non-optimal
     # iterate has small rp but large gap.
-    quality = sol.primal_residual[:B] + 2 * A.shape[2] * sol.duality_gap[:B]
+    quality = sol.primal_residual[:B] + 2 * n_vars * sol.duality_gap[:B]
     return shed, sol.x[:B, :ng], quality
 
 
