@@ -12,8 +12,10 @@ PTDF/LODF optimality certificates (with a flow-repair pass) resolve ~99%
 of states, and the Pallas-accelerated interior-point LP solves the rest —
 every state's returned solution is a PROVABLY OPTIMAL point of its
 min-shed LP (certificates carry optimality proofs; the LP is verified
-against float64 oracles in tests). nodal_mode="proportional" here; the
-MIPS-like "lp" nodal-split mode runs ~220k scen/s (see RESULTS.md). The
+against float64 oracles in tests). The LP lanes run through the fused
+whole-solve Pallas IPM kernel (ops/ipm_fused.py). nodal_mode=
+"proportional" here; the MIPS-like "lp" nodal-split mode runs ~930k
+scen/s (see RESULTS.md). The
 1e5 baseline is the BASELINE.json north-star target (>100k solves/sec on
 a v5p chip; this machine is the smaller v5e), not a reference-published
 number (the reference publishes none).
