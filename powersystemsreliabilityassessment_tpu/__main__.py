@@ -22,7 +22,7 @@ def main() -> None:
     nsq = sub.add_parser("nsq")
     nsq.add_argument("--case", default="rts24")
     nsq.add_argument("--samples", type=int, default=100_000)
-    nsq.add_argument("--batch", type=int, default=2000)
+    nsq.add_argument("--batch", type=int, default=8192)
     nsq.add_argument("--beta", type=float, default=0.0017)
     nsq.add_argument("--seed", type=int, default=0)
     nsq.add_argument("--out", default="results")

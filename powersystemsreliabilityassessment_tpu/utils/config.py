@@ -47,7 +47,12 @@ class MCSConfig:
     """Monte Carlo study configuration."""
 
     seed: int = 0
-    batch_size: int = 1024          # scenarios per device batch
+    # Scenarios per device batch. Large by default: the pooled-TPU relay
+    # charges a fixed per-dispatch cost that drifts up to ~0.4 s, so the
+    # batch must amortize dispatch, not just compute; convergence is
+    # checked once per batch, which at 100k-sample scale is still ~12
+    # checkpoints. Small smoke runs should pass a smaller batch.
+    batch_size: int = 8192
     max_samples: int = 100_000      # NSQ cap (nsqMain.m:61)
     beta_limit: float = 0.0017      # NSQ convergence target (nsqMain.m:60)
     max_years: int = 4000           # SEQ cap (seqMain.m:39)
