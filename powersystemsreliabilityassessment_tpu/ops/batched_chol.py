@@ -69,7 +69,20 @@ def _chol_kernel(m_ref, out_ref):
             rk = a[pl.ds(k, 1), :, :] * inv               # [1,m,128]
             rk = jnp.where(col > k, rk, 0.0)
             strict = jnp.where(row > k, ck, 0.0)
-            a[...] = a[...] - strict * rk                 # trailing update
+            # Trailing update predicated per 8-row strip: rows <= k are
+            # exact zeros under the masks, so skipping their strips is a
+            # pure VMEM-traffic optimization (~2x — the factorization is
+            # bandwidth-bound; measured faster than multi-column panel
+            # variants, see ops/ipm_fused.py).
+            for rb in range((mdim + 7) // 8):
+                r0 = rb * 8
+                r1 = min(r0 + 8, mdim)
+
+                def upd(r0=r0, r1=r1):
+                    a[r0:r1, :, :] = (a[r0:r1, :, :]
+                                      - strict[r0:r1] * rk)
+
+                pl.when(k < r1)(upd)
             a[:, pl.ds(k, 1), :] = ck                     # write L column k
             return 0
 
