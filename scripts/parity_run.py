@@ -44,7 +44,7 @@ def main():
              ""]
 
     t0 = time.time()
-    nsq = run_nsq_study(case, MCSConfig(batch_size=2000, max_samples=100_000,
+    nsq = run_nsq_study(case, MCSConfig(batch_size=8192, max_samples=100_000,
                                         seed=2024), log_every=10)
     t_nsq = time.time() - t0
     report.export_nodal_csv("results/nodal_results.csv",
