@@ -30,6 +30,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
 
+# Per-lane pivot floor: matrices reaching these kernels are equilibrated
+# (unit diagonal), so a pivot this small means the lane's factorization
+# has lost positive definiteness to f32 cancellation. Flooring the pivot
+# bounds the factor's entries (|L| <~ 1/sqrt(floor)) instead of the
+# 1e-30 clamp's ~1e15 garbage rows — equivalent to lifting exactly the
+# offending diagonal entries of exactly the offending lanes, which the
+# iterative refinement in ops/blocked_chol.py then removes from the
+# solution (its keep-best guard needs a bounded factor to converge).
+PIVOT_FLOOR = 1e-6
+
 
 def to_batch_minor(x: jax.Array) -> jax.Array:
     """[B, ...] -> [B // LANES, ..., LANES]. B must be a multiple of 128."""
@@ -61,7 +71,7 @@ def _chol_kernel(m_ref, out_ref):
 
         def step(k, _):
             akk = a[pl.ds(k, 1), pl.ds(k, 1), :]          # [1,1,128]
-            inv = jax.lax.rsqrt(jnp.maximum(akk, 1e-30))
+            inv = jax.lax.rsqrt(jnp.maximum(akk, PIVOT_FLOOR))
             ck = a[:, pl.ds(k, 1), :] * inv               # [m,1,128]
             ck = jnp.where(row >= k, ck, 0.0)
             # Pivot ROW (for j > k) equals pivot column by symmetry of the
