@@ -57,6 +57,20 @@ def test_vectors_match_materialized_builder(setup):
     np.testing.assert_array_equal(np.asarray(u), np.asarray(u2))
 
 
+def test_vectors_match_with_enforce_pmin(setup):
+    import dataclasses as dc
+    case, sys_, st, gu, bu, load = setup
+    ipm = IPMConfig()
+    compat_pm = dc.replace(COMPAT, enforce_pmin=True)
+    c, A, b, l, u = jax.vmap(
+        lambda g, br, ld: dcopf.build_state_lp(sys_, g, br, ld, compat_pm,
+                                               ipm.theta_max))(gu, bu, load)
+    c2, b2, l2, u2, _ = dcopf.build_state_lp_vectors(
+        sys_, gu, bu, load, compat_pm, ipm.theta_max)
+    np.testing.assert_array_equal(np.asarray(l), np.asarray(l2))
+    np.testing.assert_array_equal(np.asarray(u), np.asarray(u2))
+
+
 def test_structured_products_match_materialized_a(setup):
     case, sys_, st, gu, bu, load = setup
     ipm = IPMConfig()
