@@ -29,6 +29,9 @@ def main() -> None:
     nsq.add_argument("--checkpoint", default=None)
     nsq.add_argument("--checkpoint-backend", default="json",
                      choices=["json", "orbax"])
+    nsq.add_argument("--is-boost", type=float, default=0.0,
+                     help="importance-sampling failure boost (0 = plain "
+                          "MC; try 2-4 for rare-event regimes)")
 
     seq = sub.add_parser("seq")
     seq.add_argument("--case", default="rts24")
@@ -80,7 +83,8 @@ def main() -> None:
         ck = cls(args.checkpoint) if args.checkpoint else None
         res = run_nsq_study(case, MCSConfig(
             batch_size=args.batch, max_samples=args.samples,
-            beta_limit=args.beta, seed=args.seed), checkpointer=ck)
+            beta_limit=args.beta, seed=args.seed,
+            is_boost=args.is_boost), checkpointer=ck)
         report.export_study(res, args.out, "nsq")
         report.plot_nsq(res, f"{args.out}/convergence.png", args.beta)
         report.plot_nodal_and_weakpoints(

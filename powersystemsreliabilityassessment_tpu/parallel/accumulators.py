@@ -34,8 +34,19 @@ class BatchMoments(NamedTuple):
     sum_comp_fail: jax.Array  # [n_comp] sum of comp-down over failure states
 
 
-def batch_moments(dns_mw, nodal_mw, failure, comp_down) -> BatchMoments:
+def batch_moments(dns_mw, nodal_mw, failure, comp_down,
+                  weight=None) -> BatchMoments:
+    """Partial sums; ``weight`` [B] turns every index into an
+    importance-sampling estimate (E_q[w f(X)] = E_p[f(X)]): DNS, flags
+    and nodal sheds are weighted while ``n`` stays the sample COUNT, so
+    the downstream mean/beta formulas compute the IS estimator and its
+    CoV unchanged. Ratio indices (component importance = weighted
+    comp-down-and-fail over weighted fail) also come out right."""
     f = failure.astype(dns_mw.dtype)
+    if weight is not None:
+        dns_mw = dns_mw * weight
+        nodal_mw = nodal_mw * weight[:, None]
+        f = f * weight
     return BatchMoments(
         n=jnp.asarray(dns_mw.shape[0], dns_mw.dtype),
         sum_dns=jnp.sum(dns_mw),

@@ -43,3 +43,39 @@ def sample_states(key: jax.Array, unavail: jax.Array, always_up: jax.Array,
         u = jax.random.uniform(key, (batch, n))
     down = u < unavail[None, :]
     return down & ~always_up[None, :]
+
+
+@partial(jax.jit, static_argnames=("batch",))
+def sample_states_importance(key: jax.Array, unavail: jax.Array,
+                             always_up: jax.Array, batch: int,
+                             boost: float):
+    """Importance-sampled state draw: failure-biased proposal + weights.
+
+    Variance reduction for rare-event regimes the reference's plain MC
+    (mc_sampling.m) handles poorly: components are drawn from the
+    proposal q_i = min(boost * U_i, 0.5) instead of their true
+    unavailability U_i, so multi-outage states appear ~boost^k more
+    often; each state carries its exact likelihood ratio
+
+        w = prod_i (U_i/q_i)^x_i ((1-U_i)/(1-q_i))^(1-x_i)
+
+    and every index estimated as a w-weighted mean is unbiased
+    (E_q[w f(X)] = E_p[f(X)]). Pinned (always-up) components are fixed
+    under both measures, so they contribute factor 1.
+
+    Returns (down bool [batch, n_comp], weight f32 [batch]).
+    """
+    n = unavail.shape[0]
+    q = jnp.minimum(boost * unavail, 0.5)
+    q = jnp.where(always_up, 0.0, q)
+    p = jnp.where(always_up, 0.0, unavail)
+    u = jax.random.uniform(key, (batch, n))
+    down = (u < q[None, :]) & ~always_up[None, :]
+    # log-space product of per-component ratios (pinned comps: log 1 = 0)
+    safe_q = jnp.maximum(q, 1e-30)
+    log_fail = jnp.where(always_up, 0.0, jnp.log(p / safe_q))
+    log_ok = jnp.where(always_up, 0.0,
+                       jnp.log((1.0 - p) / jnp.maximum(1.0 - q, 1e-30)))
+    x = down.astype(unavail.dtype)
+    logw = x @ log_fail + (1.0 - x) @ log_ok
+    return down, jnp.exp(logw)

@@ -37,26 +37,38 @@ from powersystemsreliabilityassessment_tpu.utils.config import (
 def make_nsq_batch_step(sys: System, mesh: Mesh, batch_per_device: int,
                         compat: CompatFlags, ipm: IPMConfig,
                         max_lp: int | None = None, antithetic: bool = False,
-                        nodal_mode: str = "lp"):
+                        nodal_mode: str = "lp", is_boost: float = 0.0):
     """Build the jitted, mesh-sharded one-batch step: key -> BatchMoments."""
-    from powersystemsreliabilityassessment_tpu.sampling.state import sample_states
+    from powersystemsreliabilityassessment_tpu.sampling.state import (
+        sample_states, sample_states_importance)
 
+    assert not (antithetic and is_boost > 0), \
+        "antithetic and importance sampling are mutually exclusive"
     if max_lp is None:
         # Peak-load shed probability is ~10%; 50% buffer is effectively
         # overflow-free while still skipping the LP for ~85% of states.
-        max_lp = max(batch_per_device // 4, 16)
+        # Importance sampling boosts the multi-outage rate, so scale the
+        # buffer accordingly.
+        frac = 4 if is_boost <= 1.0 else 2
+        max_lp = max(batch_per_device // frac, 16)
 
     def device_step(key):
         dev = jax.lax.axis_index(meshlib.SCENARIO_AXIS)
         k = jax.random.fold_in(key, dev)
-        down = sample_states(k, sys.unavail, sys.always_up_nsq,
-                             batch_per_device, antithetic=antithetic)
+        if is_boost > 0:
+            down, weight = sample_states_importance(
+                k, sys.unavail, sys.always_up_nsq, batch_per_device,
+                is_boost)
+        else:
+            down = sample_states(k, sys.unavail, sys.always_up_nsq,
+                                 batch_per_device, antithetic=antithetic)
+            weight = None
         load = jnp.broadcast_to(sys.load_pd[None, :],
                                 (batch_per_device, sys.n_load))
         res, n_over = dcopf.evaluate_states_screened(
             sys, down, load, max_lp, compat, ipm, nodal_mode)
         m = accumulators.batch_moments(res.dns_mw, res.nodal_mw, res.failure,
-                                       down)
+                                       down, weight)
         return (accumulators.psum_moments(m),
                 jax.lax.psum(n_over, meshlib.SCENARIO_AXIS),
                 jax.lax.psum(jnp.sum(res.infeasible), meshlib.SCENARIO_AXIS))
@@ -109,7 +121,8 @@ def run_nsq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
 
     step = make_nsq_batch_step(sys, mesh, bpd, compat, ipm,
                                antithetic=cfg.antithetic,
-                               nodal_mode=cfg.nodal_mode)
+                               nodal_mode=cfg.nodal_mode,
+                               is_boost=cfg.is_boost)
     root = jax.random.key(cfg.seed)
 
     stats = accumulators.RunningStats()
@@ -147,7 +160,8 @@ def run_nsq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
                       f"max_lp to {max_lp} and redoing batch")
                 step = make_nsq_batch_step(
                     sys, mesh, bpd, compat, ipm, max_lp=max_lp,
-                    antithetic=cfg.antithetic, nodal_mode=cfg.nodal_mode)
+                    antithetic=cfg.antithetic, nodal_mode=cfg.nodal_mode,
+                    is_boost=cfg.is_boost)
                 return True
             overflow += int(n_over)  # buffer already at batch size
         infeasible += int(n_infeas)

@@ -58,6 +58,12 @@ class MCSConfig:
     max_years: int = 4000           # SEQ cap (seqMain.m:39)
     cov_threshold: float = 0.05     # SEQ convergence target (seqMain.m:40)
     antithetic: bool = False        # variance reduction (scale-up config)
+    # Importance sampling: >1 draws component failures from the boosted
+    # proposal q = min(is_boost * U, 0.5) with exact likelihood-ratio
+    # weights (sampling/state.py::sample_states_importance) — unbiased
+    # variance reduction for rare-event regimes plain MC undersamples.
+    # 0 disables. Mutually exclusive with antithetic.
+    is_boost: float = 0.0
     # "lp": states with a positive capacity deficit get their nodal shed
     # split from the interior-point LP (MIPS-like center of the degenerate
     # optimal face). "proportional": certified deficit states skip the LP —

@@ -34,6 +34,58 @@ class TestBernoulli:
         assert (a == ~b).all()
 
 
+class TestImportance:
+    def test_weights_equal_exact_likelihood_ratio(self):
+        u = jnp.asarray(twostate.unavailability(cases.rts24()), jnp.float32)
+        always = jnp.zeros(71, bool).at[14].set(True)
+        boost = 3.0
+        down, w = state.sample_states_importance(jax.random.key(4), u,
+                                                 always, 256, boost)
+        down = np.asarray(down)
+        w = np.asarray(w, np.float64)
+        un = np.asarray(u, np.float64)
+        q = np.minimum(boost * un, 0.5)
+        free = ~np.asarray(always)
+        for i in range(0, 256, 37):
+            x = down[i]
+            ratio = np.prod(np.where(
+                free, np.where(x, un / q, (1 - un) / (1 - q)), 1.0))
+            assert w[i] == pytest.approx(ratio, rel=1e-4)
+        assert not down[:, 14].any()   # pinned stays pinned
+
+    def test_unbiased_component_moments(self):
+        # E_q[w] = 1 and E_q[w * x_i] = U_i (the per-component failure
+        # probability under the TARGET measure) — the core IS identity.
+        u = jnp.asarray(twostate.unavailability(cases.rts24()), jnp.float32)
+        always = jnp.zeros(71, bool).at[14].set(True)
+        down, w = state.sample_states_importance(jax.random.key(5), u,
+                                                 always, 60000, 3.0)
+        w = np.asarray(w, np.float64)
+        x = np.asarray(down, np.float64)
+        assert np.mean(w) == pytest.approx(1.0, abs=0.01)
+        est = (w[:, None] * x).mean(axis=0)
+        target = np.where(np.asarray(always), 0.0, np.asarray(u, np.float64))
+        np.testing.assert_allclose(est, target, atol=0.004)
+
+    def test_nsq_study_importance_agrees_with_plain(self):
+        from powersystemsreliabilityassessment_tpu.studies.hl2_nsq import (
+            run_nsq_study)
+        from powersystemsreliabilityassessment_tpu.utils.config import (
+            MCSConfig)
+        plain = run_nsq_study(cases.rts24(),
+                              MCSConfig(batch_size=1024, max_samples=4096,
+                                        seed=9), log_every=0)
+        isr = run_nsq_study(cases.rts24(),
+                            MCSConfig(batch_size=1024, max_samples=4096,
+                                      seed=9, is_boost=2.5), log_every=0)
+        # Both estimate the same EDNS (~14.9 at peak); at these tiny
+        # sample counts agreement within combined MC noise is the test.
+        assert isr.edns_mw == pytest.approx(plain.edns_mw, rel=0.35)
+        assert isr.beta < 0.2 and np.isfinite(isr.beta)
+        # importance run sees ~boost x more failure states per sample
+        assert isr.overflow_states == 0
+
+
 class TestChronological:
     def test_steady_state_fraction(self):
         mttf = jnp.asarray([450.0, 1100.0])
