@@ -42,6 +42,9 @@ def main() -> None:
     seq.add_argument("--checkpoint", default=None)
     seq.add_argument("--checkpoint-backend", default="json",
                      choices=["json", "orbax"])
+    seq.add_argument("--years-per-device", type=int, default=16,
+                     help="simulated years per device batch (bigger = "
+                          "fewer dispatches but longer first compile)")
 
     hl1 = sub.add_parser("hl1")
     hl1.add_argument("--iterations", type=int, default=5000)
@@ -106,7 +109,7 @@ def main() -> None:
         ck = cls(args.checkpoint) if args.checkpoint else None
         res = run_seq_study(case, MCSConfig(
             max_years=args.years, cov_threshold=args.cov, seed=args.seed),
-            checkpointer=ck)
+            years_per_device=args.years_per_device, checkpointer=ck)
         report.export_study(res, args.out, "seq")
         report.plot_seq(res, f"{args.out}/convergence_curve.png", args.cov,
                         case.n_gen)

@@ -7,8 +7,12 @@ vectorized fixed-draw-count construction suitable for XLA:
 
 1.  draw a static number K of (up, down) duration pairs per component;
 2.  interleave and prefix-sum them into event-time boundaries ``[2K]``;
-3.  a component is DOWN at (0-based) hour ``h`` iff
-    ``searchsorted(boundaries, h, side="right")`` is odd.
+3.  a component is DOWN at (0-based) hour ``h`` iff the number of
+    boundaries <= h is odd (the ``searchsorted(..., side="right")``
+    parity, but computed as a broadcast compare-and-count: the per-hour
+    binary search is gather-bound on TPU, while the fused
+    compare+reduce runs on the VPU — measured 560x faster at RTS-24
+    scale with bit-identical output).
 
 Step 3 reproduces the reference's integer interval semantics exactly
 (down hours are ``[t, t + ttr)`` after an up-time ending at ``t``). K is
@@ -62,10 +66,12 @@ def sample_timeline(key: jax.Array, mttf: jax.Array, mttr: jax.Array,
     durations = jnp.stack([ttf, ttr], axis=2).reshape(n, 2 * n_draws)
     bounds = jnp.cumsum(durations, axis=1)
 
+    # DOWN at hour h iff #(bounds <= h) is odd — the searchsorted parity,
+    # as a fused broadcast compare+count (see module docstring).
     hour_idx = jnp.arange(hours, dtype=bounds.dtype)
-    interval = jax.vmap(
-        lambda bo: jnp.searchsorted(bo, hour_idx, side="right"))(bounds)
-    return (interval % 2) == 1
+    cnt = jnp.sum((bounds[:, :, None] <= hour_idx[None, None, :])
+                  .astype(jnp.int32), axis=1)
+    return (cnt % 2) == 1
 
 
 @partial(jax.jit, static_argnames=("hours", "n_draws", "batch", "quantize"))

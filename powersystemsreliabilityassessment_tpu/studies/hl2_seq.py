@@ -39,34 +39,47 @@ from powersystemsreliabilityassessment_tpu.utils.config import (
     CompatFlags, IPMConfig, MCSConfig)
 
 
-def _year_eval(sys: System, compat: CompatFlags, ipm: IPMConfig,
-               factors: jax.Array, hours: int, n_draws: int, max_lp: int,
-               maint_down: jax.Array | None, nodal_mode: str,
-               key: jax.Array):
-    """Evaluate ONE simulated year. Returns annual indices + accumulators."""
-    down = chronological.sample_timeline(
-        key, sys.mttf, sys.mttr, hours, n_draws)          # [ncomp, H] bool
-    down_h = down.T                                       # [H, ncomp]
+def _years_eval(sys: System, compat: CompatFlags, ipm: IPMConfig,
+                factors: jax.Array, hours: int, n_draws: int, max_lp: int,
+                maint_down: jax.Array | None, nodal_mode: str,
+                keys: jax.Array):
+    """Evaluate a block of simulated years as ONE flat evaluation batch.
+
+    Only the chronological sampling is vmapped (it is ~free with the
+    compare-and-count construction); the two-tier evaluator then sees a
+    single [years*hours] batch — vmapping the SCREENED evaluator per
+    year lowers its nonzero/compaction/scatter steps ~10x worse on TPU,
+    while the flat batch is exactly the NSQ-shaped fast path. Annual
+    indices are recovered by reshape. ``max_lp`` here is the TOTAL
+    LP-lane buffer for the whole block.
+    """
+    Y = keys.shape[0]
+    down = jax.vmap(lambda kk: chronological.sample_timeline(
+        kk, sys.mttf, sys.mttr, hours, n_draws))(keys)    # [Y, ncomp, H]
+    down_h = jnp.swapaxes(down, 1, 2)                     # [Y, H, ncomp]
     if maint_down is not None:
-        down_h = down_h | maint_down
+        down_h = down_h | maint_down[None]
     load_h = factors[:, None] * sys.load_pd[None, :]      # [H, nd]
 
     res, n_over = dcopf.evaluate_states_screened(
-        sys, down_h, load_h, max_lp, compat, ipm, nodal_mode)
+        sys, down_h.reshape(Y * hours, -1),
+        jnp.tile(load_h, (Y, 1)), max_lp, compat, ipm, nodal_mode)
 
-    dns = res.dns_mw                                      # [H]
-    flag = dns > compat.seq_curtail_threshold_mw          # [H]
+    dns = res.dns_mw.reshape(Y, hours)
+    flag = dns > compat.seq_curtail_threshold_mw          # [Y, H]
     flag_f = flag.astype(dns.dtype)
 
-    ens = jnp.sum(dns)                                    # MWh
-    plc = jnp.mean(flag_f)
-    dlc = jnp.sum(flag_f)
-    nlc = copper_sheet.count_curtailment_events(flag)
+    ens = jnp.sum(dns, axis=1)                            # [Y] MWh
+    plc = jnp.mean(flag_f, axis=1)
+    dlc = jnp.sum(flag_f, axis=1)
+    nlc = copper_sheet.count_curtailment_events(flag).astype(dns.dtype)
     # Nodal EENS + weak-point accumulators over loss hours
-    nodal = jnp.sum(jnp.where(flag[:, None], res.nodal_mw, 0.0), axis=0)
-    comp_fail = flag_f @ down_h.astype(dns.dtype)         # [ncomp]
+    nodal_yh = res.nodal_mw.reshape(Y, hours, -1)
+    nodal = jnp.sum(jnp.where(flag[:, :, None], nodal_yh, 0.0), axis=1)
+    comp_fail = jnp.einsum("yh,yhc->yc", flag_f,
+                           down_h.astype(dns.dtype))      # [Y, ncomp]
     loss_hours = dlc
-    return (ens, plc, nlc.astype(dns.dtype), dlc, ens / hours,
+    return (ens, plc, nlc, dlc, ens / hours,
             nodal, comp_fail, loss_hours, n_over,
             jnp.sum(res.infeasible))
 
@@ -84,9 +97,8 @@ def make_seq_batch_step(sys: System, mesh: Mesh, years_per_device: int,
         dev = jax.lax.axis_index(meshlib.SCENARIO_AXIS)
         k = jax.random.fold_in(key, dev)
         keys = jax.random.split(k, years_per_device)
-        outs = jax.vmap(lambda kk: _year_eval(
-            sys, compat, ipm, fac, hours, n_draws, max_lp, md, nodal_mode,
-            kk))(keys)
+        outs = _years_eval(sys, compat, ipm, fac, hours, n_draws,
+                           max_lp * years_per_device, md, nodal_mode, keys)
         # Per-year vectors are gathered (all years visible on all hosts);
         # scalar accumulators are psum-reduced.
         (ens, plc, nlc, dlc, edns, nodal, comp_fail, loss_h, n_over,
@@ -139,7 +151,14 @@ def run_seq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
                   compat: CompatFlags = CompatFlags(),
                   ipm: IPMConfig = IPMConfig(),
                   mesh: Mesh | None = None,
-                  years_per_device: int = 4,
+                  # Large year batches amortize the pooled-TPU relay's
+                  # per-dispatch cost (up to ~0.4 s; see CLAUDE.md): the
+                  # flat-batch step evaluates ~2M hour-states/s, so batch
+                  # compute is ~0.06 s at 16 years while dispatch can
+                  # cost 6x that. Bigger blocks also cost more ONE-TIME
+                  # remote-compile minutes — 16 balances the two; raise
+                  # it (CLI --years-per-device) for very long runs.
+                  years_per_device: int = 16,
                   max_lp: int = 256,
                   hours: int | None = None,
                   scheduled_maintenance: bool = False,
