@@ -34,6 +34,31 @@ class TestBernoulli:
         assert (a == ~b).all()
 
 
+class TestParityCount:
+    def test_matches_searchsorted_semantics(self):
+        # The fused compare-and-count occupancy must equal the original
+        # searchsorted(side="right") parity for the same boundaries.
+        u = jnp.asarray(twostate.unavailability(cases.rts24()), jnp.float32)
+        sys_mttf = jnp.asarray([450.0, 50.0, 1960.0], jnp.float32)
+        sys_mttr = jnp.asarray([50.0, 10.0, 40.0], jnp.float32)
+        hours, k = 500, 16
+        down = chronological.sample_timeline(jax.random.key(8), sys_mttf,
+                                             sys_mttr, hours, k)
+        # reference implementation
+        key = jax.random.key(8)
+        ku, kd = jax.random.split(key)
+        uu = jax.random.uniform(ku, (3, k), minval=1e-12, maxval=1.0)
+        ud = jax.random.uniform(kd, (3, k), minval=1e-12, maxval=1.0)
+        ttf = jnp.round(-sys_mttf[:, None] * jnp.log(uu))
+        ttr = jnp.ceil(-sys_mttr[:, None] * jnp.log(ud))
+        bounds = jnp.cumsum(
+            jnp.stack([ttf, ttr], axis=2).reshape(3, 2 * k), axis=1)
+        hour_idx = jnp.arange(hours, dtype=bounds.dtype)
+        ref = (jax.vmap(lambda bo: jnp.searchsorted(
+            bo, hour_idx, side="right"))(bounds) % 2) == 1
+        np.testing.assert_array_equal(np.asarray(down), np.asarray(ref))
+
+
 class TestImportance:
     def test_weights_equal_exact_likelihood_ratio(self):
         u = jnp.asarray(twostate.unavailability(cases.rts24()), jnp.float32)
