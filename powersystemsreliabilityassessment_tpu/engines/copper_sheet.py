@@ -32,6 +32,14 @@ class LoadCurve(NamedTuple):
         s = jnp.sort(hourly)
         suffix = jnp.concatenate(
             [jnp.cumsum(s[::-1])[::-1], jnp.zeros((1,), s.dtype)])
+        # Pad the gather table to a lane multiple — TPU compiles 1-D
+        # gathers from non-sublane-multiple tables pathologically slowly
+        # (see engines/copt.py::summarize). Indices never reach the
+        # padding (searchsorted <= H < padded length).
+        pad = (-suffix.shape[0]) % 128
+        if pad:
+            suffix = jnp.concatenate(
+                [suffix, jnp.zeros((pad,), s.dtype)])
         return LoadCurve(hourly=hourly, sorted=s, suffix_sum=suffix)
 
 

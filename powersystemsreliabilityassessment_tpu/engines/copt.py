@@ -40,9 +40,17 @@ def grid_points_for(total_capacity: float, step: float) -> int:
 
 
 def _shift(p: jax.Array, k: jax.Array, fill: float = 0.0) -> jax.Array:
-    """p shifted right by k grid slots: out[i] = p[i-k] (fill below 0)."""
-    idx = jnp.arange(p.shape[0]) - k
-    return jnp.where(idx >= 0, p[jnp.clip(idx, 0)], fill)
+    """p shifted right by k grid slots: out[i] = p[i-k] (fill below 0).
+
+    Implemented as a dynamic_slice of a fill-padded copy: the obvious
+    gather form (``p[clip(arange - k, 0)]``) compiles catastrophically
+    on TPU for large grids (a 3406-point COPT took ~3 minutes to
+    compile, scaling superlinearly with grid size; the slice form is
+    seconds)."""
+    n = p.shape[0]
+    padded = jnp.concatenate([jnp.full((n,), fill, p.dtype), p])
+    k = jnp.clip(k, 0, n)
+    return jax.lax.dynamic_slice(padded, (n - k,), (n,))
 
 
 @partial(jax.jit, static_argnames=("step", "n_points"))
@@ -112,6 +120,16 @@ def summarize(probs: jax.Array, step: float) -> COPTSummary:
     zero = jnp.zeros((1,), probs.dtype)
     s0 = jnp.concatenate([jnp.cumsum(probs[::-1])[::-1], zero])
     s1 = jnp.concatenate([jnp.cumsum((probs * x)[::-1])[::-1], zero])
+    # Pad the lookup tables to a lane multiple: TPU compiles 1-D gathers
+    # from tables whose length is not a sublane multiple catastrophically
+    # slowly (measured 510 s for a [3831] table vs 0.5 s for [3832]).
+    # The zero padding coincides with the "beyond the table" sentinel at
+    # index n, so clipped lookups are unchanged.
+    pad = (-s0.shape[0]) % 128
+    if pad:
+        z = jnp.zeros((pad,), probs.dtype)
+        s0 = jnp.concatenate([s0, z])
+        s1 = jnp.concatenate([s1, z])
     return COPTSummary(suffix_prob=s0, suffix_xprob=s1)
 
 
@@ -131,13 +149,19 @@ def risk_at_loads(summary: COPTSummary, total_capacity, loads,
     return lolp, eue
 
 
+@partial(jax.jit, static_argnames=("step",))
 def lole_eue(probs: jax.Array, step: float, total_capacity, loads):
-    """Annual LOLE (h) and EUE (MWh) for an hourly load vector."""
+    """Annual LOLE (h) and EUE (MWh) for an hourly load vector.
+
+    Jitted as a unit: un-jitted eager execution dispatches each op as its
+    own mini-executable through this environment's remote-compile hop
+    (~minutes of compile for a dozen ops)."""
     s = summarize(probs, step)
     lolp, eue = risk_at_loads(s, total_capacity, loads, step)
     return jnp.sum(lolp), jnp.sum(eue)
 
 
+@partial(jax.jit, static_argnames=("step",))
 def lole_eue_lfu(probs: jax.Array, step: float, total_capacity, loads,
                  lfu_sigma_mw: float):
     """LOLE/EUE under the 7-point load-forecast-uncertainty mixture."""
@@ -154,6 +178,7 @@ def lole_eue_lfu(probs: jax.Array, step: float, total_capacity, loads,
     return jnp.sum(lo), jnp.sum(eu)
 
 
+@partial(jax.jit, static_argnames=("step", "hours_per_year"))
 def fd_risk(cum_p: jax.Array, cum_f: jax.Array, step: float,
             total_capacity, peak_load, hours_per_year: float = 8760.0):
     """(LOLE h/yr, LOLF occ/yr, LOLD h/occ) at a constant peak load.
