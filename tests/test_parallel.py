@@ -118,6 +118,37 @@ def test_hl1_rts24_and_scaleup_smoke():
     assert out["samples"] >= 256
 
 
+def test_seq_flat_block_equals_per_year():
+    # The flat [years*hours] evaluation must give the same annual indices
+    # as evaluating each year alone (same per-year keys).
+    import jax as _jax
+    import jax.numpy as _jnp
+    from powersystemsreliabilityassessment_tpu.core import load_profile
+    from powersystemsreliabilityassessment_tpu.core.system import build_system
+    from powersystemsreliabilityassessment_tpu.models import twostate
+    from powersystemsreliabilityassessment_tpu.sampling import chronological
+    from powersystemsreliabilityassessment_tpu.studies.hl2_seq import (
+        _years_eval)
+    from powersystemsreliabilityassessment_tpu.utils.config import (
+        CompatFlags, IPMConfig)
+    case = cases.rts24()
+    sys_ = build_system(case, CompatFlags())
+    hours = 336
+    fac = _jnp.asarray(load_profile.load_factors(hours), _jnp.float32)
+    mt = twostate.mean_times(case)
+    nd = chronological.default_num_draws(mt[:, 0], mt[:, 1], hours)
+    keys = _jax.random.split(_jax.random.key(17), 3)
+    flat = _years_eval(sys_, CompatFlags(), IPMConfig(), fac, hours, nd,
+                       3 * 96, None, "lp", keys)
+    for y in range(3):
+        one = _years_eval(sys_, CompatFlags(), IPMConfig(), fac, hours,
+                          nd, 96, None, "lp", keys[y:y + 1])
+        np.testing.assert_allclose(float(flat[0][y]), float(one[0][0]),
+                                   atol=0.02)           # annual ENS (MWh)
+        assert float(flat[3][y]) == float(one[3][0])    # DLC hours
+        assert float(flat[2][y]) == float(one[2][0])    # NLC events
+
+
 def test_seq_adaptive_lp_buffer():
     from powersystemsreliabilityassessment_tpu.studies.hl2_seq import (
         run_seq_study)
