@@ -150,6 +150,15 @@ def risk_at_loads(summary: COPTSummary, total_capacity, loads,
 
 
 @partial(jax.jit, static_argnames=("step",))
+def expected_excess(summary: COPTSummary, total_capacity, loads,
+                    step: float):
+    """sum_h E[(Outage - reserve_h)+] — the ELU energy-demand kernel
+    (jitted; see lole_eue for why eager execution is ruinous here)."""
+    _, e = risk_at_loads(summary, total_capacity, loads, step)
+    return jnp.sum(e)
+
+
+@partial(jax.jit, static_argnames=("step",))
 def lole_eue(probs: jax.Array, step: float, total_capacity, loads):
     """Annual LOLE (h) and EUE (MWh) for an hourly load vector.
 

@@ -19,6 +19,7 @@
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -109,8 +110,7 @@ def expected_elu_energy(fleet: PlanningFleet, unit: int,
 
     def excess(shift):
         # sum over hours of E[(X - (total_rest - load - shift...)]
-        _, e = copt_mod.risk_at_loads(s, total_rest, load + shift, step)
-        return jnp.sum(e)
+        return copt_mod.expected_excess(s, total_rest, load + shift, step)
 
     pts = copt_mod.LFU_POINTS
     ws = copt_mod.LFU_PROBS
@@ -174,15 +174,25 @@ def weekly_hourly_risk(fleet: PlanningFleet, base_load: np.ndarray,
     total_cap = float(fleet.capacity.sum())
     n_pts = copt_mod.grid_points_for(total_cap, step)
 
+    week_of_hour = jnp.asarray(
+        np.minimum(np.arange(H) // HOURS_PER_WEEK, N_WEEKS - 1))
+    load = jnp.asarray(base_load, jnp.float32)
+    risk = _weekly_risk_jit(caps_w, qs, load, week_of_hour,
+                            jnp.float32(lfu_sigma_mw), step, n_pts)
+    return np.asarray(risk)
+
+
+@partial(jax.jit, static_argnames=("step", "n_pts"))
+def _weekly_risk_jit(caps_w, qs, load, week_of_hour, lfu_sigma_mw,
+                     step: float, n_pts: int):
+    """Jitted body of weekly_hourly_risk (one executable instead of ~20
+    eager mini-dispatches through the remote-compile hop)."""
     probs_w = jax.vmap(
         lambda cc, qq: copt_mod.build_copt(cc, qq, step, n_pts))(caps_w, qs)
     s0 = jax.vmap(lambda p: copt_mod.summarize(p, step).suffix_prob)(probs_w)
     installed_w = jnp.sum(caps_w, axis=1)                # [52]
-
-    week_of_hour = np.minimum(np.arange(H) // HOURS_PER_WEEK, N_WEEKS - 1)
-    load = jnp.asarray(base_load, jnp.float32)
     inst_h = installed_w[week_of_hour]                   # [H]
-    s0_h = s0[week_of_hour]                              # [H, n+1]
+    s0_h = s0[week_of_hour]                              # [H, n+1 padded]
 
     n = n_pts
     pts = jnp.asarray(copt_mod.LFU_POINTS, jnp.float32)
@@ -193,5 +203,4 @@ def weekly_hourly_risk(fleet: PlanningFleet, base_load: np.ndarray,
         idx = jnp.clip(jnp.floor(reserve / step).astype(jnp.int32) + 1, 0, n)
         return w * jnp.take_along_axis(s0_h, idx[:, None], axis=1)[:, 0]
 
-    risk = jnp.sum(jax.vmap(one_z)(pts, ws), axis=0)
-    return np.asarray(risk)
+    return jnp.sum(jax.vmap(one_z)(pts, ws), axis=0)
