@@ -48,9 +48,13 @@ def annual_indices_from_capacity(cap: jax.Array, curve: LoadCurve):
 
     Exact: lole = #{h: load_h > cap}, eue = sum over those hours of
     (load_h - cap). Matches PowerSystemAdequacy.jl:186-197 hour sweep.
+    The insertion index is a fused compare-and-count rather than a
+    binary search (same trick as sampling/chronological.py — per-element
+    searchsorted is gather-bound on TPU).
     """
     h = curve.sorted.shape[0]
-    idx = jnp.searchsorted(curve.sorted, cap, side="right")
+    idx = jnp.sum((curve.sorted <= cap[..., None]).astype(jnp.int32),
+                  axis=-1)
     count = (h - idx).astype(curve.sorted.dtype)
     eue = curve.suffix_sum[idx] - count * cap
     return count, eue
