@@ -51,7 +51,15 @@ def mtv(st: LPStructure, colscale, bru, y):
 
 
 def normal_matrix(st: LPStructure, wb, bru):
-    """Batched A diag(cw) A' where wb = colscale^2 * cw: [B, n] -> [B,m,m]."""
+    """Batched A diag(cw) A' where wb = colscale^2 * cw: [B, n] -> [B,m,m].
+
+    PRECONDITION: colscale must be 1.0 on every non-generator column
+    (shed/f/theta) — the decomposition folds the column scaling into wb
+    uniformly, which matches ``mv``/``mtv``'s A only because the flow
+    rows see unscaled f/theta columns. ``dcopf.build_state_lp_vectors``
+    guarantees this; do not reuse LPStructure with a colscale that
+    touches the f/theta slice (the fused kernel shares the assumption).
+    """
     B = wb.shape[0]
     nb, nl = st.nb, st.nl
     f_lo, f_hi = st.ng + st.nd, st.ng + st.nd + st.nl

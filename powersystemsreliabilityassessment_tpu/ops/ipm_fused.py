@@ -38,12 +38,11 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from powersystemsreliabilityassessment_tpu.ops.batched_chol import (
-    LANES, from_batch_minor, to_batch_minor)
+    LANES, PIVOT_FLOOR, from_batch_minor, to_batch_minor)
 from powersystemsreliabilityassessment_tpu.utils.config import IPMConfig
 
 
@@ -108,7 +107,10 @@ PANEL_R = 8
 
 # Profiling hook (scripts/ only): names of kernel stages to skip, so the
 # cost of each stage can be isolated by ablation on hardware. Any of
-# {"form", "chol", "solve"}. Produces WRONG RESULTS when non-empty.
+# {"form", "chol", "solve", "resid", "affine", "corrector"}. Produces
+# WRONG RESULTS when non-empty, and is baked in at TRACE time — set it
+# before the first call of each jitted wrapper (cached executables do
+# not see later changes).
 ABLATE: frozenset = frozenset()
 
 
@@ -211,7 +213,11 @@ def _make_kernel(st_dims, cfg: IPMConfig, n_total: int):
 
             def chol_step(k, _):
                 akk = M[pl.ds(k, 1), pl.ds(k, 1), :]
-                inv = jax.lax.rsqrt(jnp.maximum(akk, 1e-30))
+                # Same per-lane pivot floor as batched_chol: a pivot this
+                # small means the lane lost positive definiteness to f32
+                # cancellation; flooring keeps the factor bounded so the
+                # quality guard (not garbage rows) decides the lane.
+                inv = jax.lax.rsqrt(jnp.maximum(akk, PIVOT_FLOOR))
                 ck = M[:, pl.ds(k, 1), :] * inv          # [mp,1,128]
                 ck = jnp.where(row_m >= k, ck, 0.0)
                 rk = M[pl.ds(k, 1), :, :] * inv          # [1,mp,128]

@@ -36,9 +36,12 @@ def sample_states(key: jax.Array, unavail: jax.Array, always_up: jax.Array,
     """
     n = unavail.shape[0]
     if antithetic:
-        half = batch // 2
+        half = (batch + 1) // 2
         u = jax.random.uniform(key, (half, n))
-        u = jnp.concatenate([u, 1.0 - u], axis=0)
+        # Trim preserves the requested batch size for odd batches (the
+        # last sample is then unpaired — a vanishing perturbation of the
+        # variance-reduction pairing, not of the estimator).
+        u = jnp.concatenate([u, 1.0 - u], axis=0)[:batch]
     else:
         u = jax.random.uniform(key, (batch, n))
     down = u < unavail[None, :]
@@ -71,10 +74,15 @@ def sample_states_importance(key: jax.Array, unavail: jax.Array,
     p = jnp.where(always_up, 0.0, unavail)
     u = jax.random.uniform(key, (batch, n))
     down = (u < q[None, :]) & ~always_up[None, :]
-    # log-space product of per-component ratios (pinned comps: log 1 = 0)
+    # log-space product of per-component ratios. Pinned components AND
+    # zero-unavailability components contribute factor 1: with p = q = 0
+    # the component never fails under either measure, and leaving the
+    # -inf log-ratio in place would turn the (never-taken) failure term
+    # into 0 * -inf = NaN through the matmul.
+    never = always_up | (unavail <= 0.0)
     safe_q = jnp.maximum(q, 1e-30)
-    log_fail = jnp.where(always_up, 0.0, jnp.log(p / safe_q))
-    log_ok = jnp.where(always_up, 0.0,
+    log_fail = jnp.where(never, 0.0, jnp.log(p / safe_q))
+    log_ok = jnp.where(never, 0.0,
                        jnp.log((1.0 - p) / jnp.maximum(1.0 - q, 1e-30)))
     x = down.astype(unavail.dtype)
     logw = x @ log_fail + (1.0 - x) @ log_ok
