@@ -79,6 +79,91 @@ def _make_chol_ops(batch: int, m: int):
     return factor, solve
 
 
+
+def polish_box_lp(state, c, b, l, u, cfg: IPMConfig, mv_fn, mtv_fn,
+                  gram_fn) -> LPBatchSolution:
+    """Shared post-iteration polish for the batched IPM variants.
+
+    ``state`` is the loop-carried iterate (x, y, zl, zu, best_score,
+    best_x); the constraint operator is supplied abstractly:
+    ``mv_fn(v) -> A v``, ``mtv_fn(y) -> A' y``, ``gram_fn(w) ->
+    A diag(w) A'``. Steps (identical for the materialized-A and the
+    structured/fused paths): best-iterate selection, primal
+    re-projection onto Ax=b, Woodbury crossover snap toward the active
+    bounds with a monotonicity acceptance test, and the final
+    residual/gap report.
+    """
+    dtype = jnp.dtype(cfg.dtype)
+    x, y, zl, zu, best_score, best_x = state
+    B, n = x.shape
+    m = b.shape[1]
+
+    factor, chol_solve = _make_chol_ops(B, m)
+    delta = jnp.asarray(cfg.regularization, dtype)
+    eye_m = jnp.eye(m, dtype=dtype)
+
+    def bdot(p, q):
+        return jnp.sum(p * q, axis=-1)
+
+    def equilibrated_chol(M):
+        diag = jnp.diagonal(M, axis1=1, axis2=2)
+        s = jax.lax.rsqrt(jnp.maximum(diag, 1e-30))
+        Ms = M * s[:, :, None] * s[:, None, :] + delta * eye_m
+        return factor(Ms), s
+
+    def eq_solve(chol_s, rhs):
+        chol, s = chol_s
+        return s * chol_solve(chol, s * rhs)
+
+    chol_aat = equilibrated_chol(gram_fn(jnp.ones_like(x)))
+
+    def project(xv):
+        return xv + mtv_fn(eq_solve(chol_aat, b - mv_fn(xv)))
+
+    width = u - l
+
+    # Final candidate vs best-ever, then one projection polish.
+    sl = _pos(x - l)
+    su = _pos(u - x)
+    rp_f = b - mv_fn(x)
+    mu_f = (bdot(sl, zl) + bdot(su, zu)) / (2 * n)
+    score_f = mu_f + jnp.max(jnp.abs(rp_f), axis=-1)
+    x = jnp.where((score_f <= best_score)[:, None], x, best_x)
+    x = jnp.clip(project(x), l, u)
+
+    # Crossover polish via Woodbury (only m x m factorizations):
+    # (W + A'A)^-1 rhs = W^-1 rhs - W^-1 A' (I + A W^-1 A')^-1 A W^-1 rhs
+    snap_tol = 1e-3 * width
+    at_l = (x - l) < snap_tol
+    at_u = (u - x) < snap_tol
+    target = jnp.where(at_l, l, jnp.where(at_u, u, x))
+    w = jnp.where(at_l | at_u, 1e2, 1e-4)
+    rhs = mtv_fn(b) + w * target
+    winv = 1.0 / w
+    K = gram_fn(winv) + eye_m
+    cholK = equilibrated_chol(K)
+    t1 = winv * rhs
+    t2 = eq_solve(cholK, mv_fn(t1))
+    xp = t1 - winv * mtv_fn(t2)
+    xp = jnp.clip(project(xp), l, u)
+    ok = (jnp.all(jnp.isfinite(xp), axis=-1)
+          & (jnp.max(jnp.abs(mv_fn(xp) - b), axis=-1)
+             <= jnp.max(jnp.abs(mv_fn(x) - b), axis=-1) + 1e-5)
+          & (bdot(c, xp) <= bdot(c, x)))
+    x = jnp.where(ok[:, None], xp, x)
+
+    rp = b - mv_fn(x)
+    sl = _pos(x - l)
+    su = _pos(u - x)
+    mu = (bdot(sl, zl) + bdot(su, zu)) / (2 * n)
+    return LPBatchSolution(
+        x=x,
+        objective=bdot(c, x),
+        primal_residual=jnp.max(jnp.abs(rp), axis=-1),
+        duality_gap=mu,
+    )
+
+
 def solve_box_lp_batched(c, A, b, l, u,
                          cfg: IPMConfig = IPMConfig()) -> LPBatchSolution:
     """Solve a batch of LPs: min c'x s.t. Ax=b, l<=x<=u.
@@ -114,13 +199,6 @@ def solve_box_lp_batched(c, A, b, l, u,
     def eq_solve(chol_s, rhs):
         chol, s = chol_s
         return s * chol_solve(chol, s * rhs)
-
-    # Constant-through-iterations factorization for primal re-projection.
-    chol_aat = equilibrated_chol(A @ At)
-
-    def project(x):
-        return x + jnp.einsum(
-            "bmn,bm->bn", A, eq_solve(chol_aat, b - mv(A, x)))
 
     x0 = 0.5 * (l + u)
     y0 = jnp.zeros((B, m), dtype)
@@ -212,43 +290,8 @@ def solve_box_lp_batched(c, A, b, l, u,
     x, y, zl, zu, _, best_score, best_x = jax.lax.fori_loop(
         0, cfg.iterations, body, state)
 
-    # Final candidate vs best-ever, then one projection polish.
-    sl = _pos(x - l)
-    su = _pos(u - x)
-    rp_f = b - mv(A, x)
-    mu_f = (bdot(sl, zl) + bdot(su, zu)) / (2 * n)
-    score_f = mu_f + jnp.max(jnp.abs(rp_f), axis=-1)
-    x = jnp.where((score_f <= best_score)[:, None], x, best_x)
-    x = jnp.clip(project(x), l, u)
-
-    # Crossover polish via Woodbury (only m x m factorizations).
-    snap_tol = 1e-3 * width
-    at_l = (x - l) < snap_tol
-    at_u = (u - x) < snap_tol
-    target = jnp.where(at_l, l, jnp.where(at_u, u, x))
-    w = jnp.where(at_l | at_u, 1e2, 1e-4)
-    rhs = jnp.einsum("bmn,bm->bn", A, b) + w * target
-    winv = 1.0 / w
-    # (W + A'A)^-1 rhs = W^-1 rhs - W^-1 A' (I + A W^-1 A')^-1 A W^-1 rhs
-    K = (A * winv[:, None, :]) @ At + eye_m
-    cholK = equilibrated_chol(K)
-    t1 = winv * rhs
-    t2 = eq_solve(cholK, mv(A, t1))
-    xp = t1 - winv * jnp.einsum("bnm,bm->bn", At, t2)
-    xp = jnp.clip(project(xp), l, u)
-    ok = (jnp.all(jnp.isfinite(xp), axis=-1)
-          & (jnp.max(jnp.abs(mv(A, xp) - b), axis=-1)
-             <= jnp.max(jnp.abs(mv(A, x) - b), axis=-1) + 1e-5)
-          & (bdot(c, xp) <= bdot(c, x)))
-    x = jnp.where(ok[:, None], xp, x)
-
-    rp = b - mv(A, x)
-    sl = _pos(x - l)
-    su = _pos(u - x)
-    mu = (bdot(sl, zl) + bdot(su, zu)) / (2 * n)
-    return LPBatchSolution(
-        x=x,
-        objective=bdot(c, x),
-        primal_residual=jnp.max(jnp.abs(rp), axis=-1),
-        duality_gap=mu,
-    )
+    return polish_box_lp(
+        (x, y, zl, zu, best_score, best_x), c, b, l, u, cfg,
+        mv_fn=lambda v: mv(A, v),
+        mtv_fn=lambda yy: jnp.einsum("bmn,bm->bn", A, yy),
+        gram_fn=lambda w: (A * w[:, None, :]) @ At)

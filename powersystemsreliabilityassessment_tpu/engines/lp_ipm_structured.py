@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from powersystemsreliabilityassessment_tpu.engines.lp_ipm_batched import (
-    LPBatchSolution, _make_chol_ops)
+    LPBatchSolution, polish_box_lp)
 from powersystemsreliabilityassessment_tpu.ops.ipm_fused import (
     LPStructure, fused_ipm_iterations)
 from powersystemsreliabilityassessment_tpu.utils.config import IPMConfig
@@ -90,75 +90,17 @@ def solve_box_lp_structured(st: LPStructure, colscale, br_up, c, b, l, u,
     br_up = br_up.astype(dtype)
     c, b = c.astype(dtype), b.astype(dtype)
     l, u = l.astype(dtype), u.astype(dtype)
-    B = c.shape[0]
-    m, n = st.m, st.n
 
     x, y, zl, zu, best_score, best_x = fused_ipm_iterations(
         st, colscale, br_up, c, b, l, u, cfg)
 
-    factor, chol_solve = _make_chol_ops(B, m)
-    delta = jnp.asarray(cfg.regularization, dtype)
-    eye_m = jnp.eye(m, dtype=dtype)
-
-    def bdot(p, q):
-        return jnp.sum(p * q, axis=-1)
-
-    def equilibrated_chol(M):
-        diag = jnp.diagonal(M, axis1=1, axis2=2)
-        s = jax.lax.rsqrt(jnp.maximum(diag, 1e-30))
-        Ms = M * s[:, :, None] * s[:, None, :] + delta * eye_m
-        return factor(Ms), s
-
-    def eq_solve(chol_s, rhs):
-        chol, s = chol_s
-        return s * chol_solve(chol, s * rhs)
-
-    chol_aat = equilibrated_chol(normal_matrix(
-        st, colscale * colscale, br_up))
-
-    def project(xv):
-        return xv + mtv(st, colscale, br_up,
-                        eq_solve(chol_aat, b - mv(st, colscale, br_up, xv)))
-
-    width = u - l
-
-    # Final candidate vs best-ever, then one projection polish.
-    sl = jnp.maximum(x - l, 1e-12)
-    su = jnp.maximum(u - x, 1e-12)
-    rp_f = b - mv(st, colscale, br_up, x)
-    mu_f = (bdot(sl, zl) + bdot(su, zu)) / (2 * n)
-    score_f = mu_f + jnp.max(jnp.abs(rp_f), axis=-1)
-    x = jnp.where((score_f <= best_score)[:, None], x, best_x)
-    x = jnp.clip(project(x), l, u)
-
-    # Crossover polish via Woodbury (identical to lp_ipm_batched).
-    snap_tol = 1e-3 * width
-    at_l = (x - l) < snap_tol
-    at_u = (u - x) < snap_tol
-    target = jnp.where(at_l, l, jnp.where(at_u, u, x))
-    w = jnp.where(at_l | at_u, 1e2, 1e-4)
-    rhs = mtv(st, colscale, br_up, b) + w * target
-    winv = 1.0 / w
-    K = normal_matrix(st, colscale * colscale * winv, br_up) + eye_m
-    cholK = equilibrated_chol(K)
-    t1 = winv * rhs
-    t2 = eq_solve(cholK, mv(st, colscale, br_up, t1))
-    xp = t1 - winv * mtv(st, colscale, br_up, t2)
-    xp = jnp.clip(project(xp), l, u)
-    ok = (jnp.all(jnp.isfinite(xp), axis=-1)
-          & (jnp.max(jnp.abs(mv(st, colscale, br_up, xp) - b), axis=-1)
-             <= jnp.max(jnp.abs(mv(st, colscale, br_up, x) - b), axis=-1)
-             + 1e-5)
-          & (bdot(c, xp) <= bdot(c, x)))
-    x = jnp.where(ok[:, None], xp, x)
-
-    rp = b - mv(st, colscale, br_up, x)
-    sl = jnp.maximum(x - l, 1e-12)
-    su = jnp.maximum(u - x, 1e-12)
-    mu = (bdot(sl, zl) + bdot(su, zu)) / (2 * n)
-    return LPBatchSolution(
-        x=x,
-        objective=bdot(c, x),
-        primal_residual=jnp.max(jnp.abs(rp), axis=-1),
-        duality_gap=mu,
-    )
+    # Post-iteration polish shared with the generic solver; the
+    # constraint operator is supplied through the structured (A-free)
+    # products. gram_fn's weight composes with colscale^2 per the
+    # normal_matrix precondition.
+    return polish_box_lp(
+        (x, y, zl, zu, best_score, best_x), c, b, l, u, cfg,
+        mv_fn=lambda v: mv(st, colscale, br_up, v),
+        mtv_fn=lambda yy: mtv(st, colscale, br_up, yy),
+        gram_fn=lambda w: normal_matrix(st, colscale * colscale * w,
+                                        br_up))
