@@ -141,7 +141,6 @@ def _make_kernel(st_dims, cfg: IPMConfig, n_total: int):
         dt = c_ref.dtype
         row_m = jax.lax.broadcasted_iota(jnp.int32, (mp, 1, 1), 0)
         col_m = jax.lax.broadcasted_iota(jnp.int32, (1, mp, 1), 1)
-        row_v = jax.lax.broadcasted_iota(jnp.int32, (mp, 1), 0)
         eye_l = (jax.lax.broadcasted_iota(jnp.int32, (nl, nl, 1), 0)
                  == jax.lax.broadcasted_iota(jnp.int32, (nl, nl, 1), 1))
         colscale = colscale_ref[0]                       # [n, 128]
@@ -245,33 +244,55 @@ def _make_kernel(st_dims, cfg: IPMConfig, n_total: int):
 
         def solve_M(s, rhs):
             """(s L L' s)^-1 rhs via the factored scratch. rhs is [m,128];
-            the padded identity tail carries zeros."""
+            the padded identity tail carries zeros.
+
+            Blocked substitution with STATIC 8-row blocks (fully
+            unrolled): each block first subtracts the already-solved
+            prefix/suffix contribution in one [8, r0]-shaped pass (the
+            classic trsm panel update), then runs 8 serial steps that
+            touch only the 8x8 diagonal block — replacing m full-width
+            masked reductions per sweep with triangle-shaped static
+            slices."""
             if "solve" in ablate:
                 return rhs
             ysc[0:m, :] = s[0:m] * rhs
             if mp > m:
                 ysc[m:, :] = jnp.zeros((mp - m, LANES), rhs.dtype)
+            nblk_s = mp // 8
+            loc = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
 
-            def fwd(i, _):
-                li = M[pl.ds(i, 1), :, :][0]             # [mp,128] row i
-                acc = jnp.sum(jnp.where(row_v < i, li * ysc[...], 0.0),
-                              axis=0, keepdims=True)
-                lii = M[pl.ds(i, 1), pl.ds(i, 1), :][0]
-                ysc[pl.ds(i, 1), :] = (ysc[pl.ds(i, 1), :] - acc) / lii
-                return 0
+            # forward: L y = rhs
+            for bb in range(nblk_s):
+                r0 = bb * 8
+                if r0 > 0:
+                    lpan = M[r0:r0 + 8, 0:r0, :]          # [8, r0, 128]
+                    contrib = jnp.sum(lpan * ysc[0:r0, :][None, :, :],
+                                      axis=1)             # [8, 128]
+                    ysc[r0:r0 + 8, :] = ysc[r0:r0 + 8, :] - contrib
+                ldiag = M[r0:r0 + 8, r0:r0 + 8, :]        # [8, 8, 128]
+                for q in range(8):
+                    li = ldiag[q]                          # [8, 128]
+                    acc = jnp.sum(jnp.where(loc < q, li * ysc[r0:r0 + 8, :],
+                                            0.0), axis=0, keepdims=True)
+                    ysc[r0 + q:r0 + q + 1, :] = (
+                        ysc[r0 + q:r0 + q + 1, :] - acc) / ldiag[q, q:q + 1]
 
-            jax.lax.fori_loop(0, m, fwd, 0)
+            # backward: L' x = y
+            for bb in range(nblk_s - 1, -1, -1):
+                r0 = bb * 8
+                if r0 + 8 < mp:
+                    lpan = M[r0 + 8:, r0:r0 + 8, :]       # [rest, 8, 128]
+                    contrib = jnp.sum(
+                        lpan * ysc[r0 + 8:, :][:, None, :], axis=0)
+                    ysc[r0:r0 + 8, :] = ysc[r0:r0 + 8, :] - contrib
+                ldiag = M[r0:r0 + 8, r0:r0 + 8, :]
+                for q in range(7, -1, -1):
+                    lc = ldiag[:, q]                       # [8, 128]
+                    acc = jnp.sum(jnp.where(loc > q, lc * ysc[r0:r0 + 8, :],
+                                            0.0), axis=0, keepdims=True)
+                    ysc[r0 + q:r0 + q + 1, :] = (
+                        ysc[r0 + q:r0 + q + 1, :] - acc) / ldiag[q, q:q + 1]
 
-            def bwd(t, _):
-                i = m - 1 - t
-                lc = M[:, pl.ds(i, 1), :][:, 0]          # [mp,128] col i
-                acc = jnp.sum(jnp.where(row_v > i, lc * ysc[...], 0.0),
-                              axis=0, keepdims=True)
-                lii = M[pl.ds(i, 1), pl.ds(i, 1), :][0]
-                ysc[pl.ds(i, 1), :] = (ysc[pl.ds(i, 1), :] - acc) / lii
-                return 0
-
-            jax.lax.fori_loop(0, m, bwd, 0)
             return s[0:m] * ysc[0:m, :]
 
         def newton(s, d, sl, su, zl, zu, rd, rp, rcl, rcu):
