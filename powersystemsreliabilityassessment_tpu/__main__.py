@@ -49,6 +49,14 @@ def main() -> None:
     hl1 = sub.add_parser("hl1")
     hl1.add_argument("--iterations", type=int, default=5000)
     hl1.add_argument("--years", type=int, default=500)
+    hl1.add_argument("--out", default="results")
+
+    edu = sub.add_parser(
+        "education",
+        help="Markov-process / parameter-estimation / COPT teaching "
+             "figures (Markov_process.jl, parameter_estimation.jl, "
+             "generating_adequacy_assessment.jl)")
+    edu.add_argument("--out", default="results")
 
     pl = sub.add_parser("planning")
     pl.add_argument("--mc-years", type=int, default=1000)
@@ -117,7 +125,41 @@ def main() -> None:
                           "lolf": res.lolf_occ_yr, "years": res.years}))
     elif args.study == "hl1":
         from powersystemsreliabilityassessment_tpu.studies import hl1_comparison
-        hl1_comparison.run_full_comparison(args.iterations, args.years)
+        hl1_comparison.run_full_comparison(args.iterations, args.years,
+                                           out_dir=args.out)
+    elif args.study == "education":
+        import os
+
+        import numpy as np
+
+        from powersystemsreliabilityassessment_tpu.engines import copt
+        from powersystemsreliabilityassessment_tpu.studies import (
+            hl1_comparison, markov_education)
+        from powersystemsreliabilityassessment_tpu.utils import report
+        os.makedirs(args.out, exist_ok=True)
+        times, tt, pdf = markov_education.exponential_proof()
+        single = markov_education.single_component_study()
+        cap, total = markov_education.multi_unit_capacity_series()
+        report.plot_markov_education(
+            times, tt, pdf, single, cap, total,
+            f"{args.out}/markov_process.png")
+        est = markov_education.parameter_estimation_study()
+        report.plot_parameter_estimation(
+            est, f"{args.out}/parameter_estimation.png")
+        gens = hl1_comparison.demo_fleet()
+        caps = np.array([g.capacity for g in gens], np.float32)
+        fors = np.array([g.for_rate for g in gens], np.float32)
+        step = 10.0
+        n = copt.grid_points_for(float(caps.sum()), step)
+        probs = copt.build_copt(caps, fors, step, n)
+        report.plot_copt_adequacy(
+            probs, step, float(caps.sum()),
+            hl1_comparison.sinusoidal_load(),
+            f"{args.out}/copt_adequacy.png")
+        print(json.dumps({"figures": ["markov_process.png",
+                                      "parameter_estimation.png",
+                                      "copt_adequacy.png"],
+                          "out": args.out}))
     elif args.study == "planning":
         from powersystemsreliabilityassessment_tpu.studies import planning_elu
         from powersystemsreliabilityassessment_tpu.utils import report

@@ -111,8 +111,12 @@ def build_copt_fd(capacities: jax.Array, q: jax.Array, lam_per_yr: jax.Array,
 
 
 class COPTSummary(NamedTuple):
-    suffix_prob: jax.Array   # [n+1] S0[i] = P[Outage >= i*step]
-    suffix_xprob: jax.Array  # [n+1] S1[i] = E[Outage; Outage >= i*step]
+    suffix_prob: jax.Array   # [pad(n+1)] S0[i] = P[Outage >= i*step]
+    suffix_xprob: jax.Array  # [pad(n+1)] S1[i] = E[Outage; Outage >= i*step]
+    sentinel: int            # index of the all-zero "beyond the table" slot
+    #   (= the unpadded n). The arrays are zero-padded to a 128 multiple
+    #   for TPU gather compile time; consumers must clip to `sentinel`,
+    #   never derive the grid size from the padded array length.
 
 
 def summarize(probs: jax.Array, step: float) -> COPTSummary:
@@ -120,6 +124,7 @@ def summarize(probs: jax.Array, step: float) -> COPTSummary:
     zero = jnp.zeros((1,), probs.dtype)
     s0 = jnp.concatenate([jnp.cumsum(probs[::-1])[::-1], zero])
     s1 = jnp.concatenate([jnp.cumsum((probs * x)[::-1])[::-1], zero])
+    sentinel = probs.shape[0]
     # Pad the lookup tables to a lane multiple: TPU compiles 1-D gathers
     # from tables whose length is not a sublane multiple catastrophically
     # slowly (measured 510 s for a [3831] table vs 0.5 s for [3832]).
@@ -130,7 +135,7 @@ def summarize(probs: jax.Array, step: float) -> COPTSummary:
         z = jnp.zeros((pad,), probs.dtype)
         s0 = jnp.concatenate([s0, z])
         s1 = jnp.concatenate([s1, z])
-    return COPTSummary(suffix_prob=s0, suffix_xprob=s1)
+    return COPTSummary(suffix_prob=s0, suffix_xprob=s1, sentinel=sentinel)
 
 
 def risk_at_loads(summary: COPTSummary, total_capacity, loads,
@@ -141,9 +146,9 @@ def risk_at_loads(summary: COPTSummary, total_capacity, loads,
     with reserve = total_capacity - load (strict inequality via the
     floor(reserve/step)+1 index, generating_adequacy_assessment.jl:122-141).
     """
-    n = summary.suffix_prob.shape[0] - 1
     reserve = total_capacity - loads
-    idx = jnp.clip(jnp.floor(reserve / step).astype(jnp.int32) + 1, 0, n)
+    idx = jnp.clip(jnp.floor(reserve / step).astype(jnp.int32) + 1, 0,
+                   summary.sentinel)
     lolp = summary.suffix_prob[idx]
     eue = summary.suffix_xprob[idx] - reserve * summary.suffix_prob[idx]
     return lolp, eue

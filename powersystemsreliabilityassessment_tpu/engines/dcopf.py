@@ -585,10 +585,13 @@ def evaluate_states_screened(sys: System, comp_down: jax.Array,
         need_lp = ~(pre.certified & (pre.deficit <= 0))
 
     # Compaction via top_k: scores rank needy lanes first, each group in
-    # ascending lane order, so the selection (and therefore every output)
-    # is IDENTICAL to jnp.nonzero(size=max_lp, fill_value=0) — but top_k
-    # lowers to a sort instead of nonzero's cumsum+scatter, measured ~10x
-    # faster at SEQ batch sizes (139k lanes: 0.05 s vs 0.53 s).
+    # ascending lane order. The needy prefix of `idx` matches
+    # jnp.nonzero(size=max_lp, fill_value=0) exactly; the FILL slots differ
+    # (they hold live non-needy lane indices, not 0), so idx/sub_res are
+    # only meaningful under the `valid` mask below — every consumer here
+    # guards with it. top_k lowers to a sort instead of nonzero's
+    # cumsum+scatter, measured ~10x faster at SEQ batch sizes (139k lanes:
+    # 0.05 s vs 0.53 s).
     B_pad = need_lp.shape[0]
     score = need_lp.astype(jnp.int32) * (2 * B_pad) - jnp.arange(B_pad)
     k_eff = min(max_lp, B_pad)          # top_k requires k <= batch

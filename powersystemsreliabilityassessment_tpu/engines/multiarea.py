@@ -137,6 +137,13 @@ def _build_interconnect_lp(margins, tie_from, tie_to, tie_cap, big):
     # through a deficit area just to re-shed it elsewhere. This matches the
     # reference max-flow's augmenting-path behavior (surplus moves only
     # toward unserved demand) and makes the per-area split deterministic.
+    # Bound: minimum-total-curtailment is preserved only while augmenting
+    # paths traverse < 1/flow_eps = 1000 ties (a path of k ties adds
+    # k*flow_eps to 1.0 per MW served), and the tiebreak perturbs the
+    # reported per-area curtailment by O(flow_eps * flow) through the f32
+    # IPM — both fine for the intended N <= 26-area systems (path length
+    # <= N-1 << 1000; perturbation << the 0.01 MW reporting threshold at
+    # demo tie scales). Scale flow_eps down if you ever exceed that.
     flow_eps = jnp.asarray(1e-3, dt)
     c = jnp.concatenate([jnp.full((2 * T,), flow_eps, dt),
                          jnp.ones((A_areas,), dt),

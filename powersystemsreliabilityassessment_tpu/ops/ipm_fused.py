@@ -108,9 +108,12 @@ PANEL_R = 8
 # Profiling hook (scripts/ only): names of kernel stages to skip, so the
 # cost of each stage can be isolated by ablation on hardware. Any of
 # {"form", "chol", "solve", "resid", "affine", "corrector"}. Produces
-# WRONG RESULTS when non-empty, and is baked in at TRACE time — set it
-# before the first call of each jitted wrapper (cached executables do
-# not see later changes).
+# WRONG RESULTS when non-empty. Pass it explicitly via
+# ``fused_ipm_iterations(..., ablate=...)`` (profiling scripts only);
+# the module-level default exists so the engine call sites stay clean.
+# A non-empty set is baked in at TRACE time, so passing it explicitly —
+# never mutating a global mid-process — is the only safe pattern; the
+# guard in fused_ipm_iterations enforces it.
 ABLATE: frozenset = frozenset()
 
 
@@ -118,7 +121,8 @@ def _padded_m(m: int) -> int:
     return ((m + PANEL_R - 1) // PANEL_R) * PANEL_R
 
 
-def _make_kernel(st_dims, cfg: IPMConfig, n_total: int):
+def _make_kernel(st_dims, cfg: IPMConfig, n_total: int,
+                 ablate: frozenset = frozenset()):
     """Build the fused-iteration kernel for static dims (ng, nd, nl, nb)."""
     ng, nd, nl, nb = st_dims
     n = ng + nd + nl + nb
@@ -131,7 +135,6 @@ def _make_kernel(st_dims, cfg: IPMConfig, n_total: int):
     center_tol = float(cfg.center_tol)
 
     mp = _padded_m(m)
-    ablate = ABLATE
 
     def kernel(colscale_ref, bru_ref, c_ref, b_ref, l_ref, u_ref,
                a0_ref, a0t_ref, mref_ref, mreft_ref, neginct_ref,
@@ -418,7 +421,8 @@ def _make_kernel(st_dims, cfg: IPMConfig, n_total: int):
 
 
 def fused_ipm_iterations(st: LPStructure, colscale, br_up, c, b, l, u,
-                         cfg: IPMConfig = IPMConfig()):
+                         cfg: IPMConfig = IPMConfig(),
+                         ablate: frozenset | None = None):
     """Run the full Mehrotra iteration loop in one fused Pallas kernel.
 
     Inputs are batch-major ([B, n] / [B, nl] / [B, m]); B must be a
@@ -433,8 +437,17 @@ def fused_ipm_iterations(st: LPStructure, colscale, br_up, c, b, l, u,
     assert B % LANES == 0, f"batch {B} not a multiple of {LANES}"
     nblk = B // LANES
 
+    if ablate is None:
+        # Legacy global hook: tolerated only when empty — a stray non-empty
+        # module-level set would silently poison every later solve through
+        # the jit cache (it is invisible to the cache key).
+        assert not ABLATE, (
+            "ops.ipm_fused.ABLATE is non-empty; pass ablate= explicitly "
+            "to fused_ipm_iterations instead of mutating the global")
+        ablate = frozenset()
+
     bm = lambda a: to_batch_minor(a.astype(dtype))
-    kernel = _make_kernel((st.ng, st.nd, st.nl, st.nb), cfg, n)
+    kernel = _make_kernel((st.ng, st.nd, st.nl, st.nb), cfg, n, ablate)
 
     lane_spec = lambda rows: pl.BlockSpec(
         (1, rows, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)

@@ -130,8 +130,11 @@ def compare_results(results: list[MethodResult]) -> str:
 
 
 def run_full_comparison(iterations: int = 5000, years: int = 500,
-                        seed: int = 0) -> dict[str, Any]:
-    """The run_full_comparison.jl driver: all three engines + table."""
+                        seed: int = 0,
+                        out_dir: str | None = None) -> dict[str, Any]:
+    """The run_full_comparison.jl driver: all three engines + table
+    (+ the convergence/comparison figure when ``out_dir`` is given,
+    PowerSystemAdequacy.jl:275-298)."""
     gens = demo_fleet()
     load = sinusoidal_load(seed=seed)
     results = [
@@ -140,4 +143,11 @@ def run_full_comparison(iterations: int = 5000, years: int = 500,
         run_sequential_mc(gens, load, years, seed=seed + 1),
     ]
     print(compare_results(results))
+    if out_dir is not None:
+        import os
+
+        from powersystemsreliabilityassessment_tpu.utils import report
+        os.makedirs(out_dir, exist_ok=True)
+        report.plot_hl1_comparison(
+            results, os.path.join(out_dir, "hl1_comparison.png"))
     return {r.method: dataclasses.asdict(r) for r in results}

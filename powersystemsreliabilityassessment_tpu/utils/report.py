@@ -161,6 +161,121 @@ def plot_tail_risk(cmp_result, out_path: str) -> None:
     plt.close(fig)
 
 
+def plot_hl1_comparison(results, out_path: str) -> None:
+    """Three-engine comparison figure (PowerSystemAdequacy.jl:275-298):
+    MC convergence histories against the analytical LOLE line, plus the
+    LOLE/EUE method bars."""
+    plt = _plt()
+    fig, (a1, a2, a3) = plt.subplots(1, 3, figsize=(14, 4.5))
+    ana = next((r for r in results if r.method.startswith("Analytical")),
+               None)
+    for r in results:
+        if r.convergence_history:
+            a1.plot(np.arange(1, len(r.convergence_history) + 1),
+                    r.convergence_history, label=r.method)
+    if ana is not None:
+        a1.axhline(ana.lole_hours_yr, color="r", ls="--",
+                   label="Analytical")
+    a1.set_xlabel("batch"); a1.set_ylabel("LOLE (h/yr)")
+    a1.set_title("MC convergence vs analytical"); a1.legend()
+    names = [r.method for r in results]
+    a2.bar(names, [r.lole_hours_yr for r in results], color="#3399cc")
+    a2.set_ylabel("LOLE (h/yr)"); a2.set_title("LOLE by method")
+    a2.tick_params(axis="x", rotation=20)
+    a3.bar(names, [r.eue_mwh_yr for r in results], color="#cc8833")
+    a3.set_ylabel("EUE (MWh/yr)"); a3.set_title("EUE by method")
+    a3.tick_params(axis="x", rotation=20)
+    for ax in (a1, a2, a3):
+        ax.grid(True)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=110)
+    plt.close(fig)
+
+
+def plot_copt_adequacy(probs: np.ndarray, step: float,
+                       total_capacity: float, hourly_load: np.ndarray,
+                       out_path: str) -> None:
+    """COPT + adequacy figure (generating_adequacy_assessment.jl:277-306):
+    individual and cumulative outage probabilities on the MW grid, the
+    load-duration curve, and the hourly LOLP profile."""
+    plt = _plt()
+    probs = np.asarray(probs, np.float64)
+    x = np.arange(len(probs)) * step
+    cum = np.cumsum(probs[::-1])[::-1]          # P[Outage >= x]
+    fig, axes = plt.subplots(2, 2, figsize=(12, 7))
+    axes[0, 0].bar(x, probs, width=0.8 * step, color="#3399cc")
+    axes[0, 0].set_yscale("log")
+    axes[0, 0].set_xlabel("Capacity on outage (MW)")
+    axes[0, 0].set_title("COPT: individual probability")
+    axes[0, 1].semilogy(x, np.maximum(cum, 1e-300), color="#cc4c4c")
+    axes[0, 1].set_xlabel("Capacity on outage (MW)")
+    axes[0, 1].set_title("COPT: cumulative P[Outage >= x]")
+    load = np.asarray(hourly_load, np.float64)
+    axes[1, 0].plot(np.sort(load)[::-1], color="0.3")
+    axes[1, 0].set_xlabel("hours (sorted)"); axes[1, 0].set_ylabel("MW")
+    axes[1, 0].set_title("Load-duration curve")
+    reserve = total_capacity - load
+    idx = np.clip(np.floor(reserve / step).astype(int) + 1, 0,
+                  len(cum) - 1)
+    lolp_h = cum[idx]
+    axes[1, 1].semilogy(np.maximum(lolp_h, 1e-300), color="#338833")
+    axes[1, 1].set_xlabel("hour"); axes[1, 1].set_title("Hourly LOLP")
+    for ax in axes.flat:
+        ax.grid(True)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=110)
+    plt.close(fig)
+
+
+def plot_markov_education(times: np.ndarray, t_theory: np.ndarray,
+                          pdf_theory: np.ndarray, single,
+                          cap_series: np.ndarray, total_cap: float,
+                          out_path: str) -> None:
+    """Markov teaching figure (Markov_process.jl:46-74, :100-142,
+    :149-207): simulated-TTF histogram vs the exponential PDF, analytical
+    pi(t) evolution vs one MC realization vs steady state, and the 5-unit
+    available-capacity series."""
+    plt = _plt()
+    fig, (a1, a2, a3) = plt.subplots(1, 3, figsize=(15, 4.5))
+    a1.hist(times, bins=50, density=True, alpha=0.6, color="b",
+            label="simulated TTF")
+    a1.plot(t_theory, pdf_theory, "r", lw=2, label="exponential PDF")
+    a1.set_xlabel("time to failure (h)")
+    a1.set_title("Constant hazard => exponential TTF"); a1.legend()
+    a2.plot(single.prob_down_analytical, "b", lw=2,
+            label="analytical P(down, t)")
+    a2.step(np.arange(len(single.mc_realization)), single.mc_realization,
+            "g", alpha=0.5, label="one MC realization")
+    a2.axhline(single.steady_state, color="r", ls="--",
+               label="steady state U")
+    a2.set_xlabel("hour"); a2.set_title("pi(t+1) = pi(t) P vs MC")
+    a2.legend()
+    a3.plot(cap_series, color="0.3")
+    a3.axhline(total_cap, color="r", ls="--", label="installed")
+    a3.set_xlabel("hour"); a3.set_ylabel("MW")
+    a3.set_title("Available capacity (5 units)"); a3.legend()
+    for ax in (a1, a2, a3):
+        ax.grid(True)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=110)
+    plt.close(fig)
+
+
+def plot_parameter_estimation(est, out_path: str) -> None:
+    """Running lambda-hat convergence (parameter_estimation.jl:102-113)."""
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(7, 4.5))
+    ax.plot(np.arange(1, len(est.running_lambda) + 1), est.running_lambda,
+            "b", label="lambda-hat = N / sum(TTF)")
+    ax.axhline(est.true_lambda, color="r", ls="--", label="true lambda")
+    ax.set_xlabel("observed failures"); ax.set_ylabel("1/h")
+    ax.set_title("Failure-rate estimation from field logs")
+    ax.legend(); ax.grid(True)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=110)
+    plt.close(fig)
+
+
 def export_study(result, out_dir: str, prefix: str,
                  make_plots: bool = True, **plot_kw) -> None:
     """CSV + JSON (+ figures) for an NSQ/SEQ result object."""

@@ -7,7 +7,7 @@ things:
      float64 ``scipy.optimize.linprog(method="highs")`` solve of the same
      LP (the canonical oracle of ``tests/test_lp_dcopf.py``);
   2. **Replay stability** — the full DNS vector against the committed
-     golden file ``results/golden_replay.json``. Any change to the LP
+     golden file ``tests/golden/golden_replay.json``. Any change to the LP
      path (solver iterations, certificates, conditioning tricks) that
      moves a state's answer shows up as a diff here, state-by-state,
      before it can bias a Monte Carlo study.

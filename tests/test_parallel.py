@@ -72,17 +72,28 @@ class TestStudiesSmoke:
         assert r1.edns_mw >= 0
         assert len(r1.comp_importance) in (0, 71)
 
-    def test_nsq_checkpoint_resume(self, tmp_path):
-        # run 2 batches with checkpoint cadence 1... use small batches
+    def test_nsq_checkpoint_roundtrip(self, tmp_path):
+        # Non-trivial RunningStats state must survive a save/restore cycle
+        # exactly (including the nodal / component-importance arrays).
         ck = Checkpointer(str(tmp_path / "nsq.ckpt"))
-        st = {"stats": accumulators.RunningStats().state(),
-              "histories": {"beta": [], "edns": [], "lole": [], "plc": []},
-              "batch_idx": 0}
-        ck.save(st)
+        s0 = accumulators.RunningStats()
+        s0.update(accumulators.BatchMoments(
+            n=jnp.float32(4), sum_dns=jnp.float32(20.0),
+            sum_dns_sq=jnp.float32(300.0), sum_flag=jnp.float32(2.0),
+            sum_nodal=jnp.arange(3.0), sum_comp_fail=jnp.arange(5.0)))
+        ck.save({"stats": s0.state(),
+                 "histories": {"beta": [0.5], "edns": [5.0],
+                               "lole": [], "plc": []},
+                 "batch_idx": 7})
         restored = ck.restore()
-        assert restored["batch_idx"] == 0
+        assert restored["batch_idx"] == 7
+        assert restored["histories"]["beta"] == [0.5]
         s = accumulators.RunningStats.from_state(restored["stats"])
-        assert s.n == 0.0
+        assert s.n == s0.n and s.edns == s0.edns and s.beta == s0.beta
+        np.testing.assert_array_equal(np.asarray(s.sum_nodal),
+                                      np.asarray(s0.sum_nodal))
+        np.testing.assert_array_equal(np.asarray(s.sum_comp_fail),
+                                      np.asarray(s0.sum_comp_fail))
 
     def test_seq_smoke(self):
         cfg = MCSConfig(max_years=16, cov_threshold=0.0, seed=2)
@@ -169,19 +180,9 @@ def test_checkpoint_resume_equals_uninterrupted(tmp_path):
     full = run_nsq_study(cases.rts24(), cfg_full, log_every=0)
 
     ck = Checkpointer(str(tmp_path / "resume.ckpt"))
-    cfg_half = MCSConfig(batch_size=128, max_samples=256, seed=13)
-    # first half: force a checkpoint by monkeypatching cadence via direct
-    # save of the final state
-    r1 = run_nsq_study(cases.rts24(), cfg_half, log_every=0)
-    ck.save({"stats": {
-        "n": r1.samples * 1.0,
-        "sum_dns": r1.edns_mw * r1.samples,
-        "sum_dns_sq": None,  # placeholder replaced below
-    }})
-    # Simpler, exact route: reconstruct the stats via a fresh run's
-    # internals is brittle; instead verify the Checkpointer round-trips
-    # RunningStats and that resuming from batch_idx reproduces the full
-    # run's tail deterministically.
+    # Reproduce the study's own first two batches with its exact step +
+    # key schedule, checkpoint that frontier, and verify resuming from it
+    # reproduces the uninterrupted run's results.
     stats = accumulators.RunningStats()
     import jax as _jax
     from powersystemsreliabilityassessment_tpu.core.system import build_system
