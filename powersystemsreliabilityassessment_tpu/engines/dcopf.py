@@ -43,6 +43,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from powersystemsreliabilityassessment_tpu.core.system import System
 from powersystemsreliabilityassessment_tpu.engines import lp_ipm
@@ -81,9 +82,14 @@ def build_state_lp(sys: System, gen_up: jax.Array, br_up: jax.Array,
     ng, nd, nl, nb = sys.n_gen, sys.n_load, sys.n_branch, sys.n_bus
     dt = sys.bus_pd.dtype
 
-    c = jnp.concatenate([
-        jnp.zeros((ng,), dt), jnp.ones((nd,), dt),
-        jnp.zeros((nl,), dt), jnp.zeros((nb,), dt),
+    # Static constants are built with NUMPY throughout this module: a jnp
+    # creation with no tracer input executes EAGERLY at trace time — one
+    # pooled-relay dispatch plus a remote mini-compile each on this
+    # environment's TPU, and a blocking device-to-host fetch at MLIR
+    # lowering. Host numpy constants embed for free.
+    c = np.concatenate([
+        np.zeros((ng,), dt), np.ones((nd,), dt),
+        np.zeros((nl + nb,), dt),
     ])
 
     # Out-of-service (and zero-capacity, e.g. synchronous-condenser) units
@@ -98,7 +104,7 @@ def build_state_lp(sys: System, gen_up: jax.Array, br_up: jax.Array,
     # Balance block [nb, n]: Cg Pg + Cd s - Minc' f = bus_load
     bal = jnp.concatenate([
         sys.gen_bus_onehot * gen_col[None, :], sys.load_onehot,
-        -sys.incidence.T, jnp.zeros((nb, nb), dt),
+        -sys.incidence.T, np.zeros((nb, nb), dt),
     ], axis=1)
     # Flow block [nl, n]: (1/b) f - status * Minc theta = 0. The reference
     # bus's theta column is ZEROED (same column-disconnection trick as the
@@ -106,18 +112,18 @@ def build_state_lp(sys: System, gen_up: jax.Array, br_up: jax.Array,
     # standard DC power-flow reference elimination — removing the uniform
     # angle-shift null mode from A instead of leaving the interior point
     # to float it across the box.
-    ref_mask = (jnp.arange(nb) != 0).astype(dt)
+    ref_mask = (np.arange(nb) != 0).astype(dt)
     flow = jnp.concatenate([
-        jnp.zeros((nl, ng + nd), dt),
+        np.zeros((nl, ng + nd), dt),
         jnp.diag(1.0 / sys.b_susceptance),
         -br_up[:, None] * sys.incidence * ref_mask[None, :],
     ], axis=1)
     A = jnp.concatenate([bal, flow], axis=0)
 
-    b = jnp.concatenate([sys.load_onehot @ load_pu, jnp.zeros((nl,), dt)])
+    b = jnp.concatenate([sys.load_onehot @ load_pu, np.zeros((nl,), dt)])
 
-    eps = jnp.asarray(1e-6, dt)
-    pmin = sys.gen_pmin if compat.enforce_pmin else jnp.zeros((ng,), dt)
+    eps = np.asarray(1e-6, dt)
+    pmin = sys.gen_pmin if compat.enforce_pmin else np.zeros((ng,), dt)
     pmax = jnp.maximum(sys.gen_pmax, pmin + eps)
     pmax = jnp.where(sys.gen_pmax > 0, pmax, 1.0)  # zero-cap: dummy box
     # Per-bus angle boxes (System.theta_bound, a provable min-path bound
@@ -127,7 +133,7 @@ def build_state_lp(sys: System, gen_up: jax.Array, br_up: jax.Array,
     # modes that stalled the IPM at m >~ 190).
     tb = jnp.minimum(sys.theta_bound, theta_max)
     l = jnp.concatenate([
-        pmin, jnp.zeros((nd,), dt), -sys.br_rate, -tb,
+        pmin, np.zeros((nd,), dt), -sys.br_rate, -tb,
     ])
     u = jnp.concatenate([
         pmax, jnp.maximum(load_pu, eps), sys.br_rate, tb,
@@ -150,31 +156,38 @@ def build_state_lp_vectors(sys: System, gen_up: jax.Array,
     dt = sys.bus_pd.dtype
     B = gen_up.shape[0]
 
+    # [B, 1] zero tied to the batch tracer: `zeroB + v[None, :]` broadcasts
+    # a shared vector to [B, n] INSIDE the trace (XLA fuses the add away)
+    # — a plain jnp.ones/broadcast_to of a constant would instead
+    # materialize eagerly at trace time (see build_state_lp note).
+    zeroB = jnp.zeros_like(gen_up[:, :1])
+    bcast = lambda v: zeroB + v[None, :]
+
     has_cap = (sys.gen_pmax > 0).astype(dt)
     colscale = jnp.concatenate([
         gen_up * has_cap[None, :],
-        jnp.ones((B, nd + nl + nb), dt)], axis=1)
+        bcast(np.ones((nd + nl + nb,), dt))], axis=1)
 
-    c = jnp.broadcast_to(jnp.concatenate([
-        jnp.zeros((ng,), dt), jnp.ones((nd,), dt),
-        jnp.zeros((nl + nb,), dt)])[None, :], (B, ng + nd + nl + nb))
+    c = bcast(np.concatenate([
+        np.zeros((ng,), dt), np.ones((nd,), dt),
+        np.zeros((nl + nb,), dt)]))
 
     b = jnp.concatenate([load_pu @ sys.load_onehot.T,
-                         jnp.zeros((B, nl), dt)], axis=1)
+                         jnp.zeros_like(gen_up[:, :1]) +
+                         np.zeros((1, nl), dt)], axis=1)
 
-    eps = jnp.asarray(1e-6, dt)
-    pmin = sys.gen_pmin if compat.enforce_pmin else jnp.zeros((ng,), dt)
+    eps = np.asarray(1e-6, dt)
+    pmin = sys.gen_pmin if compat.enforce_pmin else np.zeros((ng,), dt)
     pmax = jnp.maximum(sys.gen_pmax, pmin + eps)
     pmax = jnp.where(sys.gen_pmax > 0, pmax, 1.0)
     tb = jnp.minimum(sys.theta_bound, theta_max)
-    l = jnp.broadcast_to(jnp.concatenate([
-        pmin, jnp.zeros((nd,), dt), -sys.br_rate, -tb])[None, :],
-        (B, ng + nd + nl + nb))
+    l = bcast(jnp.concatenate([
+        pmin, np.zeros((nd,), dt), -sys.br_rate, -tb]))
     u = jnp.concatenate([
-        jnp.broadcast_to(pmax[None, :], (B, ng)),
+        bcast(pmax),
         jnp.maximum(load_pu, eps),
-        jnp.broadcast_to(sys.br_rate[None, :], (B, nl)),
-        jnp.broadcast_to(tb[None, :], (B, nb))], axis=1)
+        bcast(sys.br_rate),
+        bcast(tb)], axis=1)
     return c, b, l, u, colscale
 
 
@@ -191,7 +204,7 @@ def connected_to_ref(sys: System, br_up: jax.Array) -> jax.Array:
     e_to = sys.incidence < 0
     pair = (e_from.astype(dt)[:, :, None] * e_to.astype(dt)[:, None, :])
     pair = pair + jnp.swapaxes(pair, 1, 2)       # [nl, nb, nb] symmetric
-    adj = jnp.eye(nb, dtype=dt) + jnp.einsum("bl,lij->bij", br_up, pair)
+    adj = np.eye(nb, dtype=dt) + jnp.einsum("bl,lij->bij", br_up, pair)
     reach = jnp.minimum(adj, 1.0)
     for _ in range(5):
         reach = jnp.minimum(reach @ reach, 1.0)
@@ -407,7 +420,7 @@ def overgen_infeasible(sys: System, comp_down: jax.Array,
     constant-False.
     """
     if not compat.enforce_pmin:
-        return jnp.zeros((comp_down.shape[0],), bool)
+        return jnp.zeros_like(comp_down[:, 0], dtype=bool)
     ng = sys.n_gen
     dt = sys.bus_pd.dtype
     gen_up = 1.0 - comp_down[:, :ng].astype(dt)
@@ -448,8 +461,8 @@ def _solve_batch(sys: System, comp_down: jax.Array, load_pu: jax.Array,
     pad = (-B) % LANES if on_tpu else 0
     if pad:
         comp_down = jnp.concatenate(
-            [comp_down, jnp.zeros((pad, comp_down.shape[1]),
-                                  comp_down.dtype)], axis=0)
+            [comp_down, np.zeros((pad, comp_down.shape[1]),
+                                 comp_down.dtype)], axis=0)
         load_pu = jnp.concatenate(
             [load_pu, jnp.broadcast_to(load_pu[:1], (pad, nd))], axis=0)
 
@@ -593,13 +606,15 @@ def evaluate_states_screened(sys: System, comp_down: jax.Array,
     # cumsum+scatter, measured ~10x faster at SEQ batch sizes (139k lanes:
     # 0.05 s vs 0.53 s).
     B_pad = need_lp.shape[0]
-    score = need_lp.astype(jnp.int32) * (2 * B_pad) - jnp.arange(B_pad)
+    score = need_lp.astype(jnp.int32) * (2 * B_pad) - np.arange(
+        B_pad, dtype=np.int32)
     k_eff = min(max_lp, B_pad)          # top_k requires k <= batch
     _, idx = jax.lax.top_k(score, k_eff)
     if k_eff < max_lp:
         idx = jnp.concatenate(
-            [idx, jnp.zeros((max_lp - k_eff,), idx.dtype)])
-    valid = (jnp.arange(max_lp) < jnp.sum(need_lp)) & need_lp[idx]
+            [idx, np.zeros((max_lp - k_eff,), np.int32)])
+    valid = (np.arange(max_lp, dtype=np.int32) < jnp.sum(need_lp)) \
+        & need_lp[idx]
 
     sub_res = evaluate_states(sys, comp_down[idx], load_pu[idx], compat, ipm)
 
@@ -609,7 +624,7 @@ def evaluate_states_screened(sys: System, comp_down: jax.Array,
     dns = pre.deficit * base
     nodal = (pre.shed * base) @ sys.load_onehot.T
     pg = pre.dispatch
-    res0 = jnp.zeros((B,), dns.dtype)
+    res0 = jnp.zeros_like(dns)
 
     vcol = valid[:, None]
     dns = dns.at[idx].set(jnp.where(valid, sub_res.dns_mw, dns[idx]))

@@ -33,6 +33,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from powersystemsreliabilityassessment_tpu.utils.config import IPMConfig
 
@@ -58,9 +59,9 @@ def solve_box_lp(c, A, b, l, u, cfg: IPMConfig = IPMConfig()) -> LPSolution:
 
     width = u - l
     margin = 1e-9 * _pos(width)
-    delta = jnp.asarray(cfg.regularization, dtype)
-    tau = jnp.asarray(cfg.tau, dtype)
-    eye_m = jnp.eye(m, dtype=dtype)
+    delta = np.asarray(cfg.regularization, dtype)
+    tau = np.asarray(cfg.tau, dtype)
+    eye_m = np.eye(m, dtype=dtype)
 
     def equilibrated_chol(M):
         """Symmetric Jacobi scaling + Cholesky: float32 survives the wide
@@ -88,8 +89,8 @@ def solve_box_lp(c, A, b, l, u, cfg: IPMConfig = IPMConfig()) -> LPSolution:
 
     # Interior start: box midpoint.
     x0 = 0.5 * (l + u)
-    y0 = jnp.zeros((m,), dtype)
-    z0 = jnp.ones((n,), dtype)
+    y0 = jnp.zeros_like(b)
+    z0 = jnp.ones_like(c)
 
     def newton_step(d, sl, su, zl, zu, rd, rp, rcl, rcu, chol):
         """Solve the KKT system given a prefactorized normal matrix."""
@@ -103,7 +104,7 @@ def solve_box_lp(c, A, b, l, u, cfg: IPMConfig = IPMConfig()) -> LPSolution:
 
     def max_step(sl, su, zl, zu, dx, dzl, dzu):
         """Fraction-to-boundary step lengths (primal, dual)."""
-        big = jnp.asarray(1e30, dtype)
+        big = np.asarray(1e30, dtype)
         ap = jnp.minimum(
             jnp.min(jnp.where(dx < 0, -sl / jnp.minimum(dx, -1e-30), big)),
             jnp.min(jnp.where(dx > 0, su / jnp.maximum(dx, 1e-30), big)),
@@ -214,7 +215,7 @@ def solve_box_lp(c, A, b, l, u, cfg: IPMConfig = IPMConfig()) -> LPSolution:
     H = A.T @ A + jnp.diag(w)
     sH = jax.lax.rsqrt(jnp.maximum(jnp.diagonal(H), 1e-30))
     cholH = jnp.linalg.cholesky(H * sH[:, None] * sH[None, :]
-                                + 1e-7 * jnp.eye(n, dtype=dtype))
+                                + 1e-7 * np.eye(n, dtype=dtype))
     rhs = A.T @ b + w * target
     xp = sH * jax.scipy.linalg.cho_solve((cholH, True), sH * rhs)
     xp = jnp.clip(project(xp), l, u)

@@ -20,6 +20,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from powersystemsreliabilityassessment_tpu.ops import batched_chol as bc
 from powersystemsreliabilityassessment_tpu.utils.config import IPMConfig
@@ -99,8 +100,8 @@ def polish_box_lp(state, c, b, l, u, cfg: IPMConfig, mv_fn, mtv_fn,
     m = b.shape[1]
 
     factor, chol_solve = _make_chol_ops(B, m)
-    delta = jnp.asarray(cfg.regularization, dtype)
-    eye_m = jnp.eye(m, dtype=dtype)
+    delta = np.asarray(cfg.regularization, dtype)
+    eye_m = np.eye(m, dtype=dtype)  # numpy: no trace-time device constant
 
     def bdot(p, q):
         return jnp.sum(p * q, axis=-1)
@@ -179,9 +180,9 @@ def solve_box_lp_batched(c, A, b, l, u,
 
     width = u - l
     margin = 1e-9 * _pos(width)
-    delta = jnp.asarray(cfg.regularization, dtype)
-    tau = jnp.asarray(cfg.tau, dtype)
-    eye_m = jnp.eye(m, dtype=dtype)
+    delta = np.asarray(cfg.regularization, dtype)
+    tau = np.asarray(cfg.tau, dtype)
+    eye_m = np.eye(m, dtype=dtype)
     At = jnp.swapaxes(A, 1, 2)
 
     def bdot(p, q):  # [B,n],[B,n] -> [B]
@@ -201,8 +202,8 @@ def solve_box_lp_batched(c, A, b, l, u,
         return s * chol_solve(chol, s * rhs)
 
     x0 = 0.5 * (l + u)
-    y0 = jnp.zeros((B, m), dtype)
-    z0 = jnp.ones((B, n), dtype)
+    y0 = jnp.zeros_like(b)
+    z0 = jnp.ones_like(c)
 
     def newton_step(d, sl, su, zl, zu, rd, rp, rcl, rcu, chol_s):
         rhat = rd - rcl / sl + rcu / su                   # [B,n]
@@ -214,7 +215,7 @@ def solve_box_lp_batched(c, A, b, l, u,
         return dx, dy, dzl, dzu
 
     def max_step(sl, su, zl, zu, dx, dzl, dzu):
-        big = jnp.asarray(1e30, dtype)
+        big = np.asarray(1e30, dtype)
         ap = jnp.minimum(
             jnp.min(jnp.where(dx < 0, -sl / jnp.minimum(dx, -1e-30), big),
                     axis=-1),
@@ -285,8 +286,8 @@ def solve_box_lp_batched(c, A, b, l, u,
         zu = jnp.where(keep, zu, zun)
         return (x, y, zl, zu, done, best_score, best_x)
 
-    state = (x0, y0, z0, z0, jnp.zeros((B,), bool),
-             jnp.full((B,), jnp.inf, dtype), x0)
+    state = (x0, y0, z0, z0, jnp.zeros_like(b[:, 0], dtype=bool),
+             jnp.full_like(b[:, 0], jnp.inf), x0)
     x, y, zl, zu, _, best_score, best_x = jax.lax.fori_loop(
         0, cfg.iterations, body, state)
 

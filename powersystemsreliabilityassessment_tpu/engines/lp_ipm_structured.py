@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from powersystemsreliabilityassessment_tpu.engines.lp_ipm_batched import (
     LPBatchSolution, polish_box_lp)
@@ -70,7 +71,7 @@ def normal_matrix(st: LPStructure, wb, bru):
     mfb = jnp.swapaxes(mbf, 1, 2)
     mtt = ((wb[:, f_hi:] @ st.q_theta.T).reshape(B, nl, nl)
            * bru[:, :, None] * bru[:, None, :])
-    mtt = mtt + jnp.eye(nl, dtype=wb.dtype)[None] * (
+    mtt = mtt + np.eye(nl, dtype=wb.dtype)[None] * (
         st.inv_b[:, 0][None, :] * g)[:, :, None]
     return jnp.concatenate([
         jnp.concatenate([mbb, mbf], axis=2),

@@ -185,43 +185,104 @@ def solve_curtailment(margins: jax.Array, tie_from: jax.Array,
     return jnp.where(any_deficit, out, 0.0)
 
 
+def _padded_fleet(sys: MultiAreaSystem):
+    """Pad the ragged per-area fleets to [A, Gmax] arrays (cap 0 padding
+    with huge MTTF contributes nothing to capacity or failures)."""
+    A = sys.n_areas
+    gmax = max(int(len(c)) for c in sys.gen_capacity)
+    caps = np.zeros((A, gmax), np.float32)
+    mttf = np.full((A, gmax), 1e9, np.float64)
+    mttr = np.full((A, gmax), 1.0, np.float64)
+    for a in range(A):
+        g = len(sys.gen_capacity[a])
+        caps[a, :g] = sys.gen_capacity[a]
+        mttf[a, :g] = sys.gen_mttf[a]
+        mttr[a, :g] = sys.gen_mttr[a]
+    return caps, mttf, mttr
+
+
+def make_multiarea_batch_step(sys: MultiAreaSystem, mesh,
+                              years_per_device: int, policy: str,
+                              ipm: IPMConfig):
+    """Jitted shard_map step: one block of years per device, psum-reduced
+    per-area (loss-hour count, curtailment sum, years) partials."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    from powersystemsreliabilityassessment_tpu.parallel import (
+        mesh as meshlib)
+
+    A = sys.n_areas
+    H = sys.hourly_load.shape[1]
+    caps, mttf, mttr = _padded_fleet(sys)
+    n_draws = chronological.default_num_draws(
+        mttf.reshape(-1), mttr.reshape(-1), H)
+    caps_d = jnp.asarray(caps.reshape(-1))                 # [A*G]
+    mttf_d = jnp.asarray(mttf.reshape(-1), jnp.float32)
+    mttr_d = jnp.asarray(mttr.reshape(-1), jnp.float32)
+    load_d = jnp.asarray(sys.hourly_load, jnp.float32)     # [A, H]
+    tf = jnp.asarray(sys.tie_from, jnp.int32)
+    tt = jnp.asarray(sys.tie_to, jnp.int32)
+    tc = jnp.asarray(sys.tie_cap, jnp.float32)
+    gmax = caps.shape[1]
+
+    def device_step(key):
+        dev = jax.lax.axis_index(meshlib.SCENARIO_AXIS)
+        keys = jax.random.split(jax.random.fold_in(key, dev),
+                                years_per_device)
+        down = jax.vmap(lambda kk: chronological.sample_timeline(
+            kk, mttf_d, mttr_d, H, n_draws, quantize=False))(keys)
+        avail = 1.0 - down.astype(jnp.float32)             # [Y, A*G, H]
+        cap_series = jnp.einsum(
+            "yagh,ag->yah", avail.reshape(-1, A, gmax, H),
+            caps_d.reshape(A, gmax))                       # [Y, A, H]
+        margins = jnp.swapaxes(cap_series, 1, 2) - load_d.T[None]  # [Y,H,A]
+        curt = solve_curtailment(margins.reshape(-1, A), tf, tt, tc,
+                                 policy, ipm)
+        loss_h = jnp.sum(curt > 0, axis=0)                 # [A]
+        eue_s = jnp.sum(curt, axis=0)                      # [A]
+        ps = lambda a: jax.lax.psum(a, meshlib.SCENARIO_AXIS)
+        return ps(loss_h), ps(eue_s)
+
+    return jax.jit(shard_map(
+        device_step, mesh=mesh, in_specs=P(), out_specs=(P(), P()),
+        check_vma=False))
+
+
 def run_multiarea_sequential(sys: MultiAreaSystem, policy: str,
                              n_years: int, seed: int = 0,
-                             ipm: IPMConfig = IPMConfig(iterations=20)):
+                             ipm: IPMConfig = IPMConfig(iterations=20),
+                             mesh=None, years_per_device: int = 8):
     """Sequential multi-area simulation (AdequacyAssessmentII.jl:185-250).
 
     Chronological TTF/TTR sampling per unit, per-hour area margins, batched
     curtailment solve, per-area LOLE (h/yr) and EUE (MWh/yr).
+
+    Years are sharded over the scenario mesh (every device simulates
+    ``years_per_device`` years per step; partials are ``psum``-reduced)
+    and the host loop walks year blocks, so device memory is
+    O(years_per_device * H * A) regardless of ``n_years`` — the same
+    scaling pattern as the HL2 studies.
     """
-    A = sys.n_areas
-    H = sys.hourly_load.shape[1]
+    from powersystemsreliabilityassessment_tpu.parallel import (
+        mesh as meshlib)
+
+    mesh = mesh or meshlib.scenario_mesh()
+    n_dev = mesh.devices.size
+    # Don't overshoot small requests: cap the per-device block so the
+    # simulated total stays close to n_years (rounded up to fill the mesh).
+    years_per_device = max(1, min(years_per_device, -(-n_years // n_dev)))
+    years_per_batch = years_per_device * n_dev
+    n_batches = max(1, -(-n_years // years_per_batch))
+    step = make_multiarea_batch_step(sys, mesh, years_per_device, policy,
+                                     ipm)
     key = jax.random.key(seed)
-
-    caps = [jnp.asarray(c, jnp.float32) for c in sys.gen_capacity]
-    margins = []
-    for a in range(A):
-        mttf = np.asarray(sys.gen_mttf[a], np.float64)
-        mttr = np.asarray(sys.gen_mttr[a], np.float64)
-        k = chronological.default_num_draws(mttf, mttr, H * n_years)
-        ka = jax.random.fold_in(key, a)
-        down = chronological.sample_timeline_batch(
-            ka, jnp.asarray(mttf, jnp.float32),
-            jnp.asarray(mttr, jnp.float32), H, k, n_years,
-            quantize=False)                               # [Y, G, H]
-        cap_series = jnp.einsum(
-            "ygh,g->yh", 1.0 - down.astype(jnp.float32), caps[a])
-        margins.append(cap_series
-                       - jnp.asarray(sys.hourly_load[a], jnp.float32)[None])
-    margins = jnp.stack(margins, axis=2)                  # [Y, H, A]
-
-    tf = jnp.asarray(sys.tie_from, jnp.int32)
-    tt = jnp.asarray(sys.tie_to, jnp.int32)
-    tc = jnp.asarray(sys.tie_cap, jnp.float32)
-
-    flat = margins.reshape(-1, A)
-    curt = solve_curtailment(flat, tf, tt, tc, policy, ipm)
-    curt = curt.reshape(n_years, H, A)
-
-    lole = jnp.sum(curt > 0, axis=(0, 1)) / n_years       # [A] h/yr
-    eue = jnp.sum(curt, axis=(0, 1)) / n_years            # [A] MWh/yr
-    return np.asarray(lole), np.asarray(eue)
+    A = sys.n_areas
+    loss_h = np.zeros(A, np.float64)
+    eue_s = np.zeros(A, np.float64)
+    for b in range(n_batches):
+        lh, es = step(jax.random.fold_in(key, b))
+        loss_h += np.asarray(lh, np.float64)
+        eue_s += np.asarray(es, np.float64)
+    total_years = n_batches * years_per_batch
+    return loss_h / total_years, eue_s / total_years

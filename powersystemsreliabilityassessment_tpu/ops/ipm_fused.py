@@ -79,12 +79,13 @@ def build_structure(sys) -> LPStructure:
     availability), the flow block is [0 | 0 | diag(1/b) | -br_up*Minc_ref]
     with the reference bus's theta column zeroed (gauge fix).
     """
+    import numpy as np
     dt = sys.bus_pd.dtype
     nb, ng, nl, nd = sys.n_bus, sys.n_gen, sys.n_branch, sys.n_load
     a0 = jnp.concatenate([
         sys.gen_bus_onehot, sys.load_onehot, -sys.incidence.T,
-        jnp.zeros((nb, nb), dt)], axis=1)                      # [nb, n]
-    ref_mask = (jnp.arange(nb) != 0).astype(dt)
+        np.zeros((nb, nb), dt)], axis=1)                       # [nb, n]
+    ref_mask = (np.arange(nb) != 0).astype(dt)
     mref = sys.incidence * ref_mask[None, :]                   # [nl, nb]
     p_bal = (a0[:, None, :] * a0[None, :, :]).reshape(nb * nb, -1)
     q_theta = (mref[:, None, :] * mref[None, :, :]).reshape(nl * nl, nb)

@@ -48,7 +48,7 @@ def batch_moments(dns_mw, nodal_mw, failure, comp_down,
         nodal_mw = nodal_mw * weight[:, None]
         f = f * weight
     return BatchMoments(
-        n=jnp.asarray(dns_mw.shape[0], dns_mw.dtype),
+        n=np.asarray(dns_mw.shape[0], dns_mw.dtype),
         sum_dns=jnp.sum(dns_mw),
         sum_dns_sq=jnp.sum(dns_mw * dns_mw),
         sum_flag=jnp.sum(f),

@@ -67,8 +67,10 @@ def sample_timeline(key: jax.Array, mttf: jax.Array, mttr: jax.Array,
     bounds = jnp.cumsum(durations, axis=1)
 
     # DOWN at hour h iff #(bounds <= h) is odd — the searchsorted parity,
-    # as a fused broadcast compare+count (see module docstring).
-    hour_idx = jnp.arange(hours, dtype=bounds.dtype)
+    # as a fused broadcast compare+count (see module docstring). numpy
+    # arange: a jnp constant would be created eagerly at trace time
+    # (relay dispatch) and fetched back at lowering.
+    hour_idx = np.arange(hours, dtype=bounds.dtype)
     cnt = jnp.sum((bounds[:, :, None] <= hour_idx[None, None, :])
                   .astype(jnp.int32), axis=1)
     return (cnt % 2) == 1
@@ -82,3 +84,43 @@ def sample_timeline_batch(key: jax.Array, mttf: jax.Array, mttr: jax.Array,
     keys = jax.random.split(key, batch)
     return jax.vmap(lambda k: sample_timeline(
         k, mttf, mttr, hours, n_draws, quantize))(keys)
+
+
+@partial(jax.jit, static_argnames=("hours", "n_draws"))
+def sample_timeline_from_state(key: jax.Array, down0: jax.Array,
+                               mttf: jax.Array, mttr: jax.Array,
+                               hours: int, n_draws: int) -> jax.Array:
+    """Chronological realization STARTING from a given component state.
+
+    ``down0`` [n_comp] bool: True = the component is DOWN at hour 0. By
+    the memorylessness of the exponential dwell times, the residual
+    up-time (resp. repair-time) of a component observed mid-dwell is
+    again exponential with the same mean, so a trajectory can be cloned
+    at any hour from its binary state vector alone — the primitive that
+    makes multilevel splitting (studies/hl2_seq_split.py) exact. For a
+    DOWN component the first drawn duration is a repair time, so the
+    interleaving swaps per component; the parity rule gains a +down0
+    offset (DOWN at hour h iff #(bounds <= h) + down0 is odd... i.e.
+    count is EVEN while still inside the first, down, dwell).
+
+    Continuous durations only (``quantize`` would break memorylessness —
+    the residual of a rounded dwell is not exchangeable with a fresh
+    rounded draw), which matches the splitting study's convention.
+    """
+    n = mttf.shape[0]
+    ka, kb = jax.random.split(key)
+    ua = jax.random.uniform(ka, (n, n_draws), minval=1e-12, maxval=1.0)
+    ub = jax.random.uniform(kb, (n, n_draws), minval=1e-12, maxval=1.0)
+    # First dwell mean: mttr where starting DOWN, mttf where starting UP;
+    # then alternate.
+    m_first = jnp.where(down0, mttr, mttf)
+    m_second = jnp.where(down0, mttf, mttr)
+    d_first = -m_first[:, None] * jnp.log(ua)
+    d_second = -m_second[:, None] * jnp.log(ub)
+    durations = jnp.stack([d_first, d_second], axis=2).reshape(
+        n, 2 * n_draws)
+    bounds = jnp.cumsum(durations, axis=1)
+    hour_idx = np.arange(hours, dtype=bounds.dtype)
+    cnt = jnp.sum((bounds[:, :, None] <= hour_idx[None, None, :])
+                  .astype(jnp.int32), axis=1)
+    return ((cnt + down0[:, None].astype(jnp.int32)) % 2) == 1

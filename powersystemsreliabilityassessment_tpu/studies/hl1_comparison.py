@@ -13,7 +13,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
 from powersystemsreliabilityassessment_tpu.engines import copper_sheet, copt
+from powersystemsreliabilityassessment_tpu.parallel import mesh as meshlib
 from powersystemsreliabilityassessment_tpu.sampling import chronological
 
 
@@ -74,17 +78,35 @@ def run_analytical(gens: list[GeneratorSpec], hourly_load: np.ndarray,
 
 def run_non_sequential_mc(gens: list[GeneratorSpec], hourly_load: np.ndarray,
                           iterations: int, seed: int = 0,
-                          batch: int = 1000) -> MethodResult:
+                          batch: int = 1000,
+                          mesh=None) -> MethodResult:
+    """NSQ capacity-sampling MC, sharded over the scenario mesh: each
+    device draws ``batch / n_dev`` samples per step and the (LOLE, EUE)
+    partials are ``psum``-reduced (the reference's loop is single-threaded
+    Julia, PowerSystemAdequacy.jl:169-208)."""
     t0 = time.time()
     caps = jnp.asarray([g.capacity for g in gens], jnp.float32)
     fors = jnp.asarray([g.for_rate for g in gens], jnp.float32)
     curve = copper_sheet.LoadCurve.build(jnp.asarray(hourly_load))
-    key = jax.random.key(seed)
-    history, tot_l, tot_e, n = [], 0.0, 0.0, 0
-    for b in range((iterations + batch - 1) // batch):
+    mesh = mesh or meshlib.scenario_mesh()
+    n_dev = mesh.devices.size
+    bpd = max(1, batch // n_dev)
+
+    def device_step(key):
+        dev = jax.lax.axis_index(meshlib.SCENARIO_AXIS)
         lole, eue, _ = copper_sheet.nsq_batch(
-            jax.random.fold_in(key, b), caps, fors, curve, batch)
-        tot_l += float(lole.sum()); tot_e += float(eue.sum()); n += batch
+            jax.random.fold_in(key, dev), caps, fors, curve, bpd)
+        ps = lambda a: jax.lax.psum(a, meshlib.SCENARIO_AXIS)
+        return ps(jnp.sum(lole)), ps(jnp.sum(eue))
+
+    step = jax.jit(shard_map(device_step, mesh=mesh, in_specs=P(),
+                             out_specs=(P(), P()), check_vma=False))
+    key = jax.random.key(seed)
+    per_batch = bpd * n_dev
+    history, tot_l, tot_e, n = [], 0.0, 0.0, 0
+    for b in range((iterations + per_batch - 1) // per_batch):
+        lole_s, eue_s = step(jax.random.fold_in(key, b))
+        tot_l += float(lole_s); tot_e += float(eue_s); n += per_batch
         history.append(tot_l / n)
     return MethodResult("Non-Sequential MC", tot_l / n, tot_e / n,
                         time.time() - t0, history)
@@ -92,23 +114,40 @@ def run_non_sequential_mc(gens: list[GeneratorSpec], hourly_load: np.ndarray,
 
 def run_sequential_mc(gens: list[GeneratorSpec], hourly_load: np.ndarray,
                       years: int, seed: int = 1,
-                      batch: int = 100) -> MethodResult:
+                      batch: int = 100,
+                      mesh=None) -> MethodResult:
+    """Chronological copper-sheet MC, years sharded over the mesh
+    (PowerSystemAdequacy.jl:214-269's per-hour countdown loop)."""
     t0 = time.time()
     caps = jnp.asarray([g.capacity for g in gens], jnp.float32)
     mttf = np.asarray([g.mttf for g in gens])
     mttr = np.asarray([g.mttr for g in gens])
     hours = len(hourly_load)
     k = chronological.default_num_draws(mttf, mttr, hours)
-    key = jax.random.key(seed)
-    history, tot_l, tot_e, n = [], 0.0, 0.0, 0
-    for b in range((years + batch - 1) // batch):
+    load_d = jnp.asarray(hourly_load)
+    mttf_d = jnp.asarray(mttf, jnp.float32)
+    mttr_d = jnp.asarray(mttr, jnp.float32)
+    mesh = mesh or meshlib.scenario_mesh()
+    n_dev = mesh.devices.size
+    ypd = max(1, batch // n_dev)
+
+    def device_step(key):
+        dev = jax.lax.axis_index(meshlib.SCENARIO_AXIS)
         down = chronological.sample_timeline_batch(
-            jax.random.fold_in(key, b), jnp.asarray(mttf, jnp.float32),
-            jnp.asarray(mttr, jnp.float32), hours, k, batch)
+            jax.random.fold_in(key, dev), mttf_d, mttr_d, hours, k, ypd)
         cap_series = copper_sheet.capacity_series_from_down(down, caps)
-        lole, eens, _ = copper_sheet.hourly_deficit(
-            cap_series, jnp.asarray(hourly_load))
-        tot_l += float(lole.sum()); tot_e += float(eens.sum()); n += batch
+        lole, eens, _ = copper_sheet.hourly_deficit(cap_series, load_d)
+        ps = lambda a: jax.lax.psum(a, meshlib.SCENARIO_AXIS)
+        return ps(jnp.sum(lole)), ps(jnp.sum(eens))
+
+    step = jax.jit(shard_map(device_step, mesh=mesh, in_specs=P(),
+                             out_specs=(P(), P()), check_vma=False))
+    key = jax.random.key(seed)
+    per_batch = ypd * n_dev
+    history, tot_l, tot_e, n = [], 0.0, 0.0, 0
+    for b in range((years + per_batch - 1) // per_batch):
+        lole_s, eens_s = step(jax.random.fold_in(key, b))
+        tot_l += float(lole_s); tot_e += float(eens_s); n += per_batch
         history.append(tot_l / n)
     return MethodResult("Sequential MC", tot_l / n, tot_e / n,
                         time.time() - t0, history)

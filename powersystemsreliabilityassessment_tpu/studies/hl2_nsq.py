@@ -52,7 +52,10 @@ def make_nsq_batch_step(sys: System, mesh: Mesh, batch_per_device: int,
         frac = 4 if is_boost <= 1.0 else 2
         max_lp = max(batch_per_device // frac, 16)
 
-    def device_step(key):
+    def device_step(key, sys):
+        # sys enters as an ARGUMENT (tracers), never a closure constant —
+        # see make_seq_batch_step for why (trace-time eager dispatch +
+        # per-constant device fetches at lowering through the TPU relay).
         dev = jax.lax.axis_index(meshlib.SCENARIO_AXIS)
         k = jax.random.fold_in(key, dev)
         if is_boost > 0:
@@ -73,12 +76,15 @@ def make_nsq_batch_step(sys: System, mesh: Mesh, batch_per_device: int,
                 jax.lax.psum(n_over, meshlib.SCENARIO_AXIS),
                 jax.lax.psum(jnp.sum(res.infeasible), meshlib.SCENARIO_AXIS))
 
-    return jax.jit(shard_map(
+    jstep = jax.jit(shard_map(
         device_step, mesh=mesh,
-        in_specs=P(),
+        in_specs=(P(), P()),
         out_specs=(accumulators.MOMENTS_OUT_SPECS, P(), P()),
         check_vma=False,
     ))
+    step = lambda key: jstep(key, sys)
+    step.jstep, step.extra_args = jstep, (sys,)
+    return step
 
 
 @dataclasses.dataclass

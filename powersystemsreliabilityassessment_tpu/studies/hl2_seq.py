@@ -90,15 +90,25 @@ def make_seq_batch_step(sys: System, mesh: Mesh, years_per_device: int,
                         factors: np.ndarray,
                         maint_down: np.ndarray | None = None,
                         nodal_mode: str = "lp"):
-    fac = jnp.asarray(factors, sys.bus_pd.dtype)
+    # The System pytree and load-profile vector enter the jitted step as
+    # ARGUMENTS, not closure constants. Closing over device-resident
+    # arrays is the root cause of the round-1 SEQ cold-start blowup
+    # (1.5-10 min): every all-constant expression on them executes
+    # EAGERLY at trace time (one pooled-relay dispatch + remote
+    # mini-compile each), and MLIR lowering then fetches every captured
+    # device array back to host one blocking device-to-host transfer at
+    # a time. As tracers they cost nothing at trace time, and the few
+    # leftover static constants are built with numpy (host-embedded).
+    fac = jnp.asarray(factors, np.float32)
     md = None if maint_down is None else jnp.asarray(maint_down)
 
-    def device_step(key):
+    def device_step(key, sys, fac, *md_arg):
         dev = jax.lax.axis_index(meshlib.SCENARIO_AXIS)
         k = jax.random.fold_in(key, dev)
         keys = jax.random.split(k, years_per_device)
         outs = _years_eval(sys, compat, ipm, fac, hours, n_draws,
-                           max_lp * years_per_device, md, nodal_mode, keys)
+                           max_lp * years_per_device,
+                           md_arg[0] if md_arg else None, nodal_mode, keys)
         # Per-year vectors are gathered (all years visible on all hosts);
         # scalar accumulators are psum-reduced.
         (ens, plc, nlc, dlc, edns, nodal, comp_fail, loss_h, n_over,
@@ -113,11 +123,17 @@ def make_seq_batch_step(sys: System, mesh: Mesh, years_per_device: int,
                 jax.lax.psum(jnp.sum(n_over), meshlib.SCENARIO_AXIS),
                 jax.lax.psum(jnp.sum(n_infeas), meshlib.SCENARIO_AXIS))
 
-    return jax.jit(shard_map(
-        device_step, mesh=mesh, in_specs=P(),
+    n_in = 3 + (0 if md is None else 1)
+    jstep = jax.jit(shard_map(
+        device_step, mesh=mesh, in_specs=(P(),) * n_in,
         out_specs=(P(),) * 10,
         check_vma=False,
     ))
+    extra = (sys, fac) if md is None else (sys, fac, md)
+    step = lambda key: jstep(key, *extra)
+    # AOT handles for probes/tests (scripts/probe_seq_*.py).
+    step.jstep, step.extra_args = jstep, extra
+    return step
 
 
 @dataclasses.dataclass

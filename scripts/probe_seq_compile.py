@@ -65,7 +65,7 @@ def main():
         step = hl2_seq.make_seq_batch_step(
             sys_, mesh, years, compat, ipm, hours, n_draws, max_lp,
             factors, None, nodal_mode="lp")
-        lowered = step.lower(jax.random.key(0))
+        lowered = step.jstep.lower(jax.random.key(0), *step.extra_args)
     elif variant == "arg":
         def device_step(key, fac):
             keys = jax.random.split(key, years)

@@ -11,6 +11,7 @@ import pytest
 
 from powersystemsreliabilityassessment_tpu.core import cases
 from powersystemsreliabilityassessment_tpu.studies.hl2_nsq import run_nsq_study
+from powersystemsreliabilityassessment_tpu.studies.hl2_seq import run_seq_study
 from powersystemsreliabilityassessment_tpu.utils.config import MCSConfig
 
 # Recorded from the virtual 8-device CPU mesh (conftest forces it).
@@ -34,3 +35,24 @@ def test_nsq_small_sample_regression_pin():
     # standard error ~ 3 MW; 3-sigma window.
     assert abs(r.edns_mw - REF_EDNS) < 9.0
     assert abs(r.lole_hr_yr - REF_LOLE) < 350.0
+
+
+# SEQ small-run pin (16 years x 2016 h on the 8-device CPU mesh; the
+# 12-week window is the shortest horizon with nonzero shed at seed 2):
+# catches silent drift anywhere in the chronological sampler / screened
+# evaluator / annual-index path, which the NSQ pin does not cover.
+# Recorded twice (pre/post the round-2 trace-time refactor) — identical.
+GOLDEN_SEQ_EENS = 3.8826998472213745
+GOLDEN_SEQ_LOLE = 0.375
+GOLDEN_SEQ_LOLF = 0.1875
+
+
+def test_seq_small_sample_regression_pin():
+    r = run_seq_study(cases.rts24(),
+                      MCSConfig(max_years=16, cov_threshold=0.0, seed=2),
+                      years_per_device=2, max_lp=96, hours=2016,
+                      log_every=0)
+    assert r.years == 16
+    assert r.eens_mwh_yr == pytest.approx(GOLDEN_SEQ_EENS, rel=1e-5)
+    assert r.lole_hr_yr == pytest.approx(GOLDEN_SEQ_LOLE, rel=1e-6)
+    assert r.lolf_occ_yr == pytest.approx(GOLDEN_SEQ_LOLF, rel=1e-6)
