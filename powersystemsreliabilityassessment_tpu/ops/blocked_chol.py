@@ -126,21 +126,30 @@ def _panels(m: int):
 LIFT = 1e-5
 REFINE_STEPS = 2
 
+# Fragile-lane rescue: ~1/128 deep-contingency lanes at m~320 have a
+# normal matrix whose f32 Schur cancellation loses positive definiteness
+# past the base lift — their factor is bounded (cholesky_bm's pivot
+# floor) but useless, and refinement cannot recover it. Such lanes are
+# detected at factor time by a probe solve run through the SAME
+# refinement schedule as the real solve (M x = M 1 must return ~1; a
+# healthy factor lands ~1e-5, a PD-lost one O(1), so the 1e-2 threshold
+# separates them cleanly), and when any exists the batch is factored
+# once more by XLA's batched Cholesky under ``lax.cond``; the bad lanes'
+# panels are spliced from that factor (measured healthy on exactly these
+# matrices — it was the pre-blocked fallback path). A bigger "escalated"
+# panel lift does NOT work instead: removing an O(lift) perturbation by
+# refinement contracts ~lift*kappa per step, and these matrices have
+# kappa >> 1e3.
+PROBE_BAD_REL = 1e-2     # probe-solve max|x-1| above this flags the lane
 
-def blocked_cholesky(M: jax.Array):
-    """Batched blocked Cholesky. M: [B, m, m] -> list-of-panels factor.
 
-    Returns (panels, Ls, Loffs, M): diagonal-panel factors ``Ls[j]`` in
-    batch-minor layout, off-diagonal blocks ``Loffs[(i, j)]`` in
-    batch-major [B, pi, pj], and the original matrix (kept for iterative
-    refinement in :func:`blocked_cho_solve`).
-    """
+def _factor_once(M: jax.Array):
+    """One blocked panel-factorization pass with the standard lift."""
     B, m, _ = M.shape
     panels = _panels(m)
     Ls: list = []
     Loff: dict = {}
     for j, (j0, j1) in enumerate(panels):
-        pj = j1 - j0
         S = M[:, j0:j1, j0:j1]
         for k in range(j):
             Ljk = Loff[(j, k)]
@@ -159,6 +168,50 @@ def blocked_cholesky(M: jax.Array):
             Xt = trsm_fwd(Lj_bm,
                           bc.to_batch_minor(jnp.swapaxes(Bij, 1, 2)))
             Loff[(i, j)] = jnp.swapaxes(bc.from_batch_minor(Xt), 1, 2)
+    return panels, Ls, Loff
+
+
+def blocked_cholesky(M: jax.Array):
+    """Batched blocked Cholesky. M: [B, m, m] -> list-of-panels factor.
+
+    Returns (panels, Ls, Loffs, M): diagonal-panel factors ``Ls[j]`` in
+    batch-minor layout, off-diagonal blocks ``Loffs[(i, j)]`` in
+    batch-major [B, pi, pj], and the original matrix (kept for iterative
+    refinement in :func:`blocked_cho_solve`). Lanes whose factor fails
+    the probe solve (see PROBE_BAD_REL) get their panels spliced from an
+    XLA batched-Cholesky factor computed under ``lax.cond`` — one extra
+    full factorization, executed only when a fragile lane exists.
+    """
+    panels, Ls, Loff = _factor_once(M)
+
+    # Probe through the real refinement schedule: healthy factors
+    # reproduce x = 1 from r = M @ 1 to ~1e-5; PD-lost factors stay O(1).
+    r = jnp.sum(M, axis=2)
+    x = _blocked_substitute(panels, Ls, Loff, r)
+    for _ in range(REFINE_STEPS):
+        x = x + _blocked_substitute(
+            panels, Ls, Loff, r - jnp.einsum("bmn,bn->bm", M, x))
+    bad = jnp.max(jnp.abs(x - 1.0), axis=1) > PROBE_BAD_REL
+
+    def rescue(_):
+        Lx = jnp.linalg.cholesky(M)                    # [B, m, m]
+        # A lane non-PD even for XLA yields NaNs (which reach the last
+        # pivot); keep the blocked factor there — the quality guard
+        # downstream degrades it to certified bounds as before.
+        ok = bad & jnp.isfinite(Lx[:, -1, -1])
+        sel_bm = bc.to_batch_minor(ok[:, None, None])  # [nblk,1,1,128]
+        Lm, Lo = [], {}
+        for j, (j0, j1) in enumerate(panels):
+            xj = bc.to_batch_minor(Lx[:, j0:j1, j0:j1])
+            Lm.append(jnp.where(sel_bm, xj, Ls[j]))
+            for i in range(j + 1, len(panels)):
+                i0, i1 = panels[i]
+                Lo[(i, j)] = jnp.where(ok[:, None, None],
+                                       Lx[:, i0:i1, j0:j1], Loff[(i, j)])
+        return Lm, Lo
+
+    Ls, Loff = jax.lax.cond(jnp.any(bad), rescue,
+                            lambda _: (Ls, Loff), None)
     return panels, Ls, Loff, M
 
 
@@ -179,9 +232,10 @@ def blocked_cho_solve(factor, r: jax.Array) -> jax.Array:
         return r - jnp.einsum("bmn,bn->bm", M, x)
 
     # Keep-best across refinement iterates: on the rare lane whose panel
-    # factor lost positive definiteness despite the lift (cholesky_bm
-    # clamps the pivot and produces a poor factor), refinement can
-    # diverge — never return an iterate worse than the best seen.
+    # factor lost positive definiteness despite the lift AND resisted the
+    # XLA rescue (cholesky_bm clamps the pivot and produces a poor
+    # factor), refinement can diverge — never return an iterate worse
+    # than the best seen.
     x = _blocked_substitute(panels, Ls, Loff, r)
     best_x, best_rn = x, jnp.max(jnp.abs(residual(x)), axis=1)
     for _ in range(REFINE_STEPS):

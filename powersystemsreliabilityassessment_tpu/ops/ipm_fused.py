@@ -141,7 +141,7 @@ def _make_kernel(st_dims, cfg: IPMConfig, n_total: int,
                a0_ref, a0t_ref, mref_ref, mreft_ref, neginct_ref,
                neginc_ref, invb_ref, pbal_ref, qth_ref,
                x_out, y_out, zl_out, zu_out, bx_out, bs_out,
-               M, ysc):
+               M, ysc, dinv):
         dt = c_ref.dtype
         row_m = jax.lax.broadcasted_iota(jnp.int32, (mp, 1, 1), 0)
         col_m = jax.lax.broadcasted_iota(jnp.int32, (1, mp, 1), 1)
@@ -244,6 +244,36 @@ def _make_kernel(st_dims, cfg: IPMConfig, n_total: int,
 
             if "chol" not in ablate:
                 jax.lax.fori_loop(0, m, chol_step, 0)
+
+            # Invert the 8x8 diagonal blocks of L once per factorization
+            # (recursive triangular block inverse, log-depth — no serial
+            # 8-step chain): the two Newton solves per iteration then
+            # replace their serial in-block substitutions with single
+            # vectorized matvecs. For lower-tri D = [[A,0],[C,B]]:
+            # D^-1 = [[Ai, 0], [-Bi C Ai, Bi]].
+            def mmk(a_, b_):                      # [k,k,128] @ [k,k,128]
+                # Unrolled over the k<=4 contraction terms; stays rank-3.
+                return sum(a_[:, p:p + 1, :] * b_[p:p + 1, :, :]
+                           for p in range(a_.shape[1]))
+
+            def inv_lower(Dk):
+                k = Dk.shape[0]
+                if k == 1:
+                    return 1.0 / Dk
+                h = k // 2
+                Ai = inv_lower(Dk[:h, :h, :])
+                Bi = inv_lower(Dk[h:, h:, :])
+                off = -mmk(Bi, mmk(Dk[h:, :h, :], Ai))
+                top = jnp.concatenate(
+                    [Ai, jnp.zeros((h, k - h, LANES), Dk.dtype)], axis=1)
+                return jnp.concatenate(
+                    [top, jnp.concatenate([off, Bi], axis=1)], axis=0)
+
+            if "solve" not in ablate:
+                for rb in range(mp // 8):
+                    r0 = rb * 8
+                    dinv[r0:r0 + 8, :, :] = inv_lower(
+                        M[r0:r0 + 8, r0:r0 + 8, :])
             return s
 
         def solve_M(s, rhs):
@@ -253,49 +283,37 @@ def _make_kernel(st_dims, cfg: IPMConfig, n_total: int,
             Blocked substitution with STATIC 8-row blocks (fully
             unrolled): each block first subtracts the already-solved
             prefix/suffix contribution in one [8, r0]-shaped pass (the
-            classic trsm panel update), then runs 8 serial steps that
-            touch only the 8x8 diagonal block — replacing m full-width
-            masked reductions per sweep with triangle-shaped static
-            slices."""
+            classic trsm panel update), then applies the precomputed
+            8x8 diagonal-block inverse as one vectorized matvec — the
+            only serial dependency left is block-to-block."""
             if "solve" in ablate:
                 return rhs
             ysc[0:m, :] = s[0:m] * rhs
             if mp > m:
                 ysc[m:, :] = jnp.zeros((mp - m, LANES), rhs.dtype)
             nblk_s = mp // 8
-            loc = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
 
-            # forward: L y = rhs
+            # forward: L y = rhs;  y_blk = Dinv_blk (rhs_blk - panel)
             for bb in range(nblk_s):
                 r0 = bb * 8
+                v = ysc[r0:r0 + 8, :]
                 if r0 > 0:
                     lpan = M[r0:r0 + 8, 0:r0, :]          # [8, r0, 128]
-                    contrib = jnp.sum(lpan * ysc[0:r0, :][None, :, :],
-                                      axis=1)             # [8, 128]
-                    ysc[r0:r0 + 8, :] = ysc[r0:r0 + 8, :] - contrib
-                ldiag = M[r0:r0 + 8, r0:r0 + 8, :]        # [8, 8, 128]
-                for q in range(8):
-                    li = ldiag[q]                          # [8, 128]
-                    acc = jnp.sum(jnp.where(loc < q, li * ysc[r0:r0 + 8, :],
-                                            0.0), axis=0, keepdims=True)
-                    ysc[r0 + q:r0 + q + 1, :] = (
-                        ysc[r0 + q:r0 + q + 1, :] - acc) / ldiag[q, q:q + 1]
+                    v = v - jnp.sum(lpan * ysc[0:r0, :][None, :, :],
+                                    axis=1)               # [8, 128]
+                db = dinv[r0:r0 + 8, :, :]                # [8out, 8in, 128]
+                ysc[r0:r0 + 8, :] = jnp.sum(db * v[None, :, :], axis=1)
 
-            # backward: L' x = y
+            # backward: L' x = y;  x_blk = Dinv_blk' (y_blk - panel)
             for bb in range(nblk_s - 1, -1, -1):
                 r0 = bb * 8
+                v = ysc[r0:r0 + 8, :]
                 if r0 + 8 < mp:
                     lpan = M[r0 + 8:, r0:r0 + 8, :]       # [rest, 8, 128]
-                    contrib = jnp.sum(
+                    v = v - jnp.sum(
                         lpan * ysc[r0 + 8:, :][:, None, :], axis=0)
-                    ysc[r0:r0 + 8, :] = ysc[r0:r0 + 8, :] - contrib
-                ldiag = M[r0:r0 + 8, r0:r0 + 8, :]
-                for q in range(7, -1, -1):
-                    lc = ldiag[:, q]                       # [8, 128]
-                    acc = jnp.sum(jnp.where(loc > q, lc * ysc[r0:r0 + 8, :],
-                                            0.0), axis=0, keepdims=True)
-                    ysc[r0 + q:r0 + q + 1, :] = (
-                        ysc[r0 + q:r0 + q + 1, :] - acc) / ldiag[q, q:q + 1]
+                db = dinv[r0:r0 + 8, :, :]
+                ysc[r0:r0 + 8, :] = jnp.sum(db * v[:, None, :], axis=0)
 
             return s[0:m] * ysc[0:m, :]
 
@@ -490,6 +508,7 @@ def fused_ipm_iterations(st: LPStructure, colscale, br_up, c, b, l, u,
         scratch_shapes=[
             pltpu.VMEM((_padded_m(m), _padded_m(m), LANES), dtype),  # M / L
             pltpu.VMEM((_padded_m(m), LANES), dtype),    # solve workspace
+            pltpu.VMEM((_padded_m(m), 8, LANES), dtype),  # diag-block invs
         ],
         interpret=_interpret(),
     )(bm(colscale), bm(br_up), bm(c), bm(b), bm(l), bm(u),

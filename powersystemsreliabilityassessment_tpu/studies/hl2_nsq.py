@@ -122,6 +122,7 @@ def run_nsq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
                   log_every: int = 10) -> NSQResult:
     sys = build_system(case, compat)
     mesh = mesh or meshlib.scenario_mesh()
+    meshlib.warmup_backend()
     n_dev = mesh.devices.size
     bpd = max(cfg.batch_size // n_dev, 1)
 

@@ -67,3 +67,23 @@ def test_blocked_chol_refinement_removes_lift(monkeypatch):
     resid = np.asarray(r - jnp.einsum("bmn,bn->bm", M, x))
     rel = np.max(np.abs(resid)) / np.max(np.abs(np.asarray(r)))
     assert rel < 1e-4
+
+
+def test_blocked_chol_rescue_splice(monkeypatch):
+    """Force the fragile-lane rescue (all lanes flagged): the panels
+    spliced from the XLA factor must solve as accurately as the normal
+    path — this pins the batch-minor/batch-major layout conversions in
+    the rescue branch."""
+    from powersystemsreliabilityassessment_tpu.ops import blocked_chol as bl
+    monkeypatch.setattr(bl, "PANEL", 5)
+    monkeypatch.setattr(bl, "PROBE_BAD_REL", -1.0)  # every lane "bad"
+    rng = np.random.default_rng(11)
+    B, m = bc.LANES, 12
+    A = rng.normal(size=(B, m, m + 4)).astype(np.float32)
+    M = jnp.asarray(A @ np.swapaxes(A, 1, 2)
+                    + 8 * np.eye(m, dtype=np.float32))
+    r = jnp.asarray(rng.normal(size=(B, m)).astype(np.float32))
+    x = bl.blocked_cho_solve(bl.blocked_cholesky(M), r)
+    xref = jnp.linalg.solve(M, r[..., None])[..., 0]
+    rel = float(jnp.max(jnp.abs(x - xref)) / jnp.max(jnp.abs(xref)))
+    assert rel < 2e-5
