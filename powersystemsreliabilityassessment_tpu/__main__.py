@@ -45,6 +45,15 @@ def main() -> None:
     seq.add_argument("--years-per-device", type=int, default=16,
                      help="simulated years per device batch (bigger = "
                           "fewer dispatches but longer first compile)")
+    seq.add_argument("--split-level", type=float, default=None,
+                     help="enable multilevel splitting (RESTART): copper "
+                          "margin level in MW that triggers cloning "
+                          "(rare-event variance reduction; see "
+                          "studies/hl2_seq_split.py)")
+    seq.add_argument("--split-k", type=int, default=4,
+                     help="tail samples per split parent (incl. parent)")
+    seq.add_argument("--split-max", type=int, default=8,
+                     help="max split parents per device batch")
 
     hl1 = sub.add_parser("hl1")
     hl1.add_argument("--iterations", type=int, default=5000)
@@ -115,9 +124,21 @@ def main() -> None:
         cls = (OrbaxCheckpointer if args.checkpoint_backend == "orbax"
                else Checkpointer)
         ck = cls(args.checkpoint) if args.checkpoint else None
-        res = run_seq_study(case, MCSConfig(
-            max_years=args.years, cov_threshold=args.cov, seed=args.seed),
-            years_per_device=args.years_per_device, checkpointer=ck)
+        if args.split_level is not None:
+            from powersystemsreliabilityassessment_tpu.studies.hl2_seq_split import (
+                SplitConfig, run_seq_split_study)
+            res = run_seq_split_study(
+                case, MCSConfig(max_years=args.years,
+                                cov_threshold=args.cov, seed=args.seed),
+                SplitConfig(level_mw=args.split_level,
+                            k_clones=args.split_k,
+                            max_split=args.split_max),
+                years_per_device=args.years_per_device)
+        else:
+            res = run_seq_study(case, MCSConfig(
+                max_years=args.years, cov_threshold=args.cov,
+                seed=args.seed),
+                years_per_device=args.years_per_device, checkpointer=ck)
         report.export_study(res, args.out, "seq")
         report.plot_seq(res, f"{args.out}/convergence_curve.png", args.cov,
                         case.n_gen)

@@ -119,14 +119,19 @@ def run_nsq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
                   mesh: Mesh | None = None,
                   checkpointer: Checkpointer | None = None,
                   checkpoint_every: int = 50,
-                  log_every: int = 10) -> NSQResult:
+                  log_every: int = 10,
+                  max_lp: int | None = None) -> NSQResult:
+    """``max_lp``: initial LP-lane buffer per device batch (None = the
+    step's default); on overflow it doubles and the batch is redone with
+    the same keys, so the estimate is invariant to the initial size
+    (tests/test_parallel.py::test_nsq_adaptive_lp_buffer_redo_exact)."""
     sys = build_system(case, compat)
     mesh = mesh or meshlib.scenario_mesh()
     meshlib.warmup_backend()
     n_dev = mesh.devices.size
     bpd = max(cfg.batch_size // n_dev, 1)
 
-    step = make_nsq_batch_step(sys, mesh, bpd, compat, ipm,
+    step = make_nsq_batch_step(sys, mesh, bpd, compat, ipm, max_lp=max_lp,
                                antithetic=cfg.antithetic,
                                nodal_mode=cfg.nodal_mode,
                                is_boost=cfg.is_boost)
@@ -145,7 +150,6 @@ def run_nsq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
             overflow = int(restored.get("overflow", 0))
             infeasible = int(restored.get("infeasible", 0))
 
-    max_lp = None  # step's default
     # Double-buffered host loop: dispatch batch k+1 before synchronizing on
     # batch k's (tiny) partial sums, hiding the host<->device round-trip
     # behind device compute. The convergence check therefore lags one

@@ -155,6 +155,11 @@ class SEQResult:
     # Hours with no feasible dispatch (enforce_pmin only); the reference's
     # try/catch silently records zero for these (seqMain.m:117-126).
     infeasible_hours: int = 0
+    # Multilevel-splitting diagnostics (studies/hl2_seq_split.py only):
+    # parent years that entered the splitting level, and entering parents
+    # beyond the per-batch clone budget (kept their plain estimate).
+    split_entered: int = 0
+    split_overflow: int = 0
 
     def to_dict(self) -> dict[str, Any]:
         d = dataclasses.asdict(self)
@@ -185,6 +190,7 @@ def run_seq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
 
     sys = build_system(case, compat)
     mesh = mesh or meshlib.scenario_mesh()
+    meshlib.warmup_backend()
     hours = hours or compat.hours_per_year_seq
     factors = load_profile.load_factors(hours, compat.weekday_mode)
     n_draws = chronological.default_num_draws(

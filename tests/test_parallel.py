@@ -241,3 +241,25 @@ def test_seq_checkpoint_resume(tmp_path):
     assert resumed.lole_hr_yr == pytest.approx(full.lole_hr_yr, rel=1e-9)
     np.testing.assert_allclose(resumed.nodal_eens_mwh_yr,
                                full.nodal_eens_mwh_yr, rtol=1e-9)
+
+
+def test_nsq_adaptive_lp_buffer_redo_exact():
+    from powersystemsreliabilityassessment_tpu.studies.hl2_nsq import (
+        run_nsq_study)
+    # Importance boost makes multi-outage (uncertified) states common, so
+    # an absurdly small initial LP buffer MUST overflow; the study grows
+    # it and redoes the batch with the same keys. Property: the final
+    # indices are invariant to the initial buffer size, and no overflow
+    # is ever *recorded* (recorded overflow = buffer already at batch
+    # size, i.e. genuine saturation).
+    cfg = MCSConfig(batch_size=128, max_samples=256, seed=21,
+                    is_boost=4.0)
+    small = run_nsq_study(cases.rts24(), cfg, log_every=0, max_lp=2)
+    big = run_nsq_study(cases.rts24(), cfg, log_every=0)
+    assert small.overflow_states == 0
+    assert big.overflow_states == 0
+    assert small.samples == big.samples
+    assert small.edns_mw == pytest.approx(big.edns_mw, rel=1e-5)
+    assert small.lole_hr_yr == pytest.approx(big.lole_hr_yr, rel=1e-5)
+    np.testing.assert_allclose(small.nodal_eens_mwh_yr,
+                               big.nodal_eens_mwh_yr, rtol=1e-4)

@@ -1,0 +1,103 @@
+"""Multilevel-splitting SEQ study: exactness of the estimator plumbing.
+
+The key invariant: the split estimator is the PLAIN estimator whenever the
+tail carries no fresh clones — either because no year reaches the level
+(level -> -inf) or because K=1 (the only tail sample is the parent's own
+continuation). Running both configurations on the same seed must produce
+IDENTICAL indices; this exercises the pre/tail decomposition of every
+index including the NLC boundary-rise bookkeeping.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from powersystemsreliabilityassessment_tpu.core import cases
+from powersystemsreliabilityassessment_tpu.sampling import chronological
+from powersystemsreliabilityassessment_tpu.studies.hl2_seq_split import (
+    SplitConfig, run_seq_split_study)
+from powersystemsreliabilityassessment_tpu.utils.config import MCSConfig
+
+
+def test_from_state_up_matches_plain():
+    # Starting all-UP with the same key reproduces sample_timeline's
+    # continuous (quantize=False) realization exactly.
+    case = cases.rts24()
+    from powersystemsreliabilityassessment_tpu.models import twostate
+    mt = twostate.mean_times(case)
+    mttf = jnp.asarray(mt[:, 0], jnp.float32)
+    mttr = jnp.asarray(mt[:, 1], jnp.float32)
+    k = jax.random.key(11)
+    nd = chronological.default_num_draws(mt[:, 0], mt[:, 1], 336)
+    a = chronological.sample_timeline(k, mttf, mttr, 336, nd,
+                                      quantize=False)
+    b = chronological.sample_timeline_from_state(
+        k, jnp.zeros(case.n_comp, bool), mttf, mttr, 336, nd)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_from_state_down_starts_down():
+    case = cases.rts24()
+    from powersystemsreliabilityassessment_tpu.models import twostate
+    mt = twostate.mean_times(case)
+    down0 = jnp.ones(case.n_comp, bool)
+    nd = chronological.default_num_draws(mt[:, 0], mt[:, 1], 48)
+    tl = chronological.sample_timeline_from_state(
+        jax.random.key(3), down0, jnp.asarray(mt[:, 0], jnp.float32),
+        jnp.asarray(mt[:, 1], jnp.float32), 48, nd)
+    # hour 0 must be DOWN for every component
+    assert bool(jnp.all(tl[:, 0]))
+
+
+def test_split_estimator_reduces_to_plain():
+    case = cases.rts24()
+    cfg = MCSConfig(max_years=16, cov_threshold=0.0, seed=2)
+    kw = dict(years_per_device=2, max_lp=64, hours=504, log_every=0)
+    # never reaches the level -> plain path
+    r_never = run_seq_split_study(
+        case, cfg, SplitConfig(level_mw=-1e9, k_clones=3, max_split=2),
+        **kw)
+    # always split at T=0, but the only tail sample is the parent's own
+    # continuation -> must reconstruct the plain estimate exactly
+    r_k1 = run_seq_split_study(
+        case, cfg, SplitConfig(level_mw=1e9, k_clones=1, max_split=2),
+        **kw)
+    assert r_k1.eens_mwh_yr == pytest.approx(r_never.eens_mwh_yr,
+                                             rel=1e-6)
+    assert r_k1.lole_hr_yr == pytest.approx(r_never.lole_hr_yr, rel=1e-9)
+    assert r_k1.lolf_occ_yr == pytest.approx(r_never.lolf_occ_yr,
+                                             rel=1e-9)
+    np.testing.assert_allclose(r_k1.nodal_eens_mwh_yr,
+                               r_never.nodal_eens_mwh_yr, rtol=1e-5)
+    np.testing.assert_allclose(r_k1.comp_importance,
+                               r_never.comp_importance, rtol=1e-5)
+
+
+def test_shift_table_never_clamps():
+    # Regression: the clone load-factor table must be padded so that
+    # dynamic_slice(t, H) is in-bounds for EVERY split hour t <= H.
+    # A table padded only to the next 128 multiple silently clamps all
+    # t > pad onto t = pad (dynamic_slice clamps the start), which fed
+    # clones the January load profile regardless of season and biased
+    # the split EENS low by ~2x.
+    from powersystemsreliabilityassessment_tpu.studies.hl2_seq_split import (
+        _pad_shift_table)
+    H = 8736
+    fac = np.arange(H, dtype=np.float32)  # identity -> slice start visible
+    tab = jnp.asarray(_pad_shift_table(fac))
+    assert tab.shape[0] >= 2 * H
+    assert tab.shape[0] % 128 == 0
+    for t in (0, 96, 97, 5000, H - 1, H):
+        got = np.asarray(jax.lax.dynamic_slice(tab, (t,), (H,)))
+        want = np.concatenate([fac[t:], np.zeros(t, np.float32)])
+        np.testing.assert_array_equal(got, want)
+
+
+def test_split_runs_and_is_sane():
+    r = run_seq_split_study(
+        cases.rts24(), MCSConfig(max_years=16, cov_threshold=0.0, seed=2),
+        SplitConfig(level_mw=400.0, k_clones=3, max_split=4),
+        years_per_device=2, max_lp=64, hours=504, log_every=0)
+    assert r.years == 16
+    assert r.eens_mwh_yr >= 0
+    assert r.lolf_occ_yr <= r.lole_hr_yr or r.lole_hr_yr == 0
