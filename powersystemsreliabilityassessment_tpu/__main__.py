@@ -45,9 +45,10 @@ def main() -> None:
     seq.add_argument("--years-per-device", type=int, default=16,
                      help="simulated years per device batch (bigger = "
                           "fewer dispatches but longer first compile)")
-    seq.add_argument("--split-level", type=float, default=None,
+    seq.add_argument("--split-level", default=None,
                      help="enable multilevel splitting (RESTART): copper "
-                          "margin level in MW that triggers cloning "
+                          "margin level in MW that triggers cloning, or "
+                          "'auto' to calibrate from a sampler-only pilot "
                           "(rare-event variance reduction; see "
                           "studies/hl2_seq_split.py)")
     seq.add_argument("--split-k", type=int, default=4,
@@ -130,7 +131,8 @@ def main() -> None:
             res = run_seq_split_study(
                 case, MCSConfig(max_years=args.years,
                                 cov_threshold=args.cov, seed=args.seed),
-                SplitConfig(level_mw=args.split_level,
+                SplitConfig(level_mw=(None if args.split_level == "auto"
+                                      else float(args.split_level)),
                             k_clones=args.split_k,
                             max_split=args.split_max),
                 years_per_device=args.years_per_device)

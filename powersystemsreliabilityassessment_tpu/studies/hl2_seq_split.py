@@ -51,9 +51,13 @@ from powersystemsreliabilityassessment_tpu.utils.config import (
 
 @dataclasses.dataclass(frozen=True)
 class SplitConfig:
-    level_mw: float = 300.0   # margin level that triggers splitting
+    # Margin level (MW) that triggers splitting; None = auto-calibrate
+    # from a sampler-only pilot so that ~entry_target of years enter.
+    level_mw: float | None = None
     k_clones: int = 4         # tail samples per split parent (incl. parent)
     max_split: int = 8        # clone budget: parents split per device batch
+    entry_target: float = 0.10   # auto-calibration yearly entry fraction
+    pilot_years: int = 256    # pilot size for auto-calibration
 
 
 def _pad_shift_table(v: np.ndarray) -> np.ndarray:
@@ -78,6 +82,36 @@ def _year_indices(dns: jax.Array, flag_valid: jax.Array,
     ens = jnp.sum(jnp.where(flag_valid, dns, 0.0), axis=-1)
     dlc = jnp.sum(flag, axis=-1).astype(dns.dtype)
     return ens, dlc, flag
+
+
+def calibrate_level(sys: System, factors: np.ndarray, hours: int,
+                    n_draws: int, entry_target: float = 0.10,
+                    pilot_years: int = 256, seed: int = 0) -> float:
+    """Sampler-only pilot: pick the copper-margin level (MW) whose yearly
+    entry fraction is ``entry_target`` (the empirical quantile of the
+    yearly MINIMUM margin). No LP work — cost is a few seconds even on
+    the pooled TPU; RESTART's efficiency is flat in a wide band around
+    the target, so a pilot this size suffices."""
+    ng = sys.n_gen
+    total_load = jnp.sum(sys.load_pd)
+    fac = jnp.asarray(factors, jnp.float32)
+
+    @jax.jit
+    def min_margin(key, sys):
+        keys = jax.random.split(key, 128)
+        down = jax.vmap(lambda kk: chronological.sample_timeline(
+            kk, sys.mttf, sys.mttr, hours, n_draws,
+            quantize=False))(keys)
+        up = 1.0 - down[:, :ng, :].astype(jnp.float32)
+        cap = jnp.einsum("ygh,g->yh", up, sys.gen_pmax)
+        return jnp.min(cap - fac[None, :] * total_load, axis=1)
+
+    root = jax.random.fold_in(jax.random.key(seed), 0x5117)
+    mm = np.concatenate([
+        np.asarray(min_margin(jax.random.fold_in(root, b), sys))
+        for b in range(max(pilot_years // 128, 1))])
+    return float(np.percentile(mm, 100.0 * entry_target)
+                 * float(sys.base_mva))
 
 
 def make_split_batch_step(sys: System, mesh, years_per_device: int,
@@ -301,6 +335,16 @@ def run_seq_split_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
     factors = factors * load_scale
     mt = twostate.mean_times(case)
     n_draws = chronological.default_num_draws(mt[:, 0], mt[:, 1], hours)
+
+    if split.level_mw is None:
+        level = calibrate_level(sys, np.asarray(factors), hours, n_draws,
+                                split.entry_target, split.pilot_years,
+                                cfg.seed)
+        if log_every:
+            print(f"auto-calibrated splitting level: {level:.1f} MW "
+                  f"(target entry {split.entry_target:.0%}, "
+                  f"{split.pilot_years}-year pilot)")
+        split = dataclasses.replace(split, level_mw=level)
 
     step = make_split_batch_step(sys, mesh, years_per_device, compat, ipm,
                                  hours, n_draws, max_lp, factors, split)

@@ -101,3 +101,15 @@ def test_split_runs_and_is_sane():
     assert r.years == 16
     assert r.eens_mwh_yr >= 0
     assert r.lolf_occ_yr <= r.lole_hr_yr or r.lole_hr_yr == 0
+
+
+def test_split_auto_level_calibration():
+    r = run_seq_split_study(
+        cases.rts24(), MCSConfig(max_years=8, cov_threshold=0.0, seed=4),
+        SplitConfig(level_mw=None, k_clones=2, max_split=2,
+                    entry_target=0.25, pilot_years=128),
+        years_per_device=1, max_lp=64, hours=504, log_every=0)
+    assert r.years == 8
+    assert r.eens_mwh_yr >= 0
+    # with a 25% entry target, some of the 8 parent years should enter
+    assert r.split_entered >= 1
