@@ -135,7 +135,7 @@ def main() -> None:
                                       else float(args.split_level)),
                             k_clones=args.split_k,
                             max_split=args.split_max),
-                years_per_device=args.years_per_device)
+                years_per_device=args.years_per_device, checkpointer=ck)
         else:
             res = run_seq_study(case, MCSConfig(
                 max_years=args.years, cov_threshold=args.cov,

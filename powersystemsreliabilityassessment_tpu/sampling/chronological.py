@@ -86,10 +86,11 @@ def sample_timeline_batch(key: jax.Array, mttf: jax.Array, mttr: jax.Array,
         k, mttf, mttr, hours, n_draws, quantize))(keys)
 
 
-@partial(jax.jit, static_argnames=("hours", "n_draws"))
+@partial(jax.jit, static_argnames=("hours", "n_draws", "antithetic"))
 def sample_timeline_from_state(key: jax.Array, down0: jax.Array,
                                mttf: jax.Array, mttr: jax.Array,
-                               hours: int, n_draws: int) -> jax.Array:
+                               hours: int, n_draws: int,
+                               antithetic: bool = False) -> jax.Array:
     """Chronological realization STARTING from a given component state.
 
     ``down0`` [n_comp] bool: True = the component is DOWN at hour 0. By
@@ -106,11 +107,22 @@ def sample_timeline_from_state(key: jax.Array, down0: jax.Array,
     Continuous durations only (``quantize`` would break memorylessness —
     the residual of a rounded dwell is not exchangeable with a fresh
     rounded draw), which matches the splitting study's convention.
+
+    ``antithetic=True`` reflects every dwell uniform u -> 1-u; a clone
+    pair (key, flag=False/True) is then negatively correlated in any
+    outcome monotone in the dwell times (tail ENS is: longer up-times =>
+    less shed), reducing the variance of the pair average below the
+    independent-pair value while each member stays exactly distributed.
     """
     n = mttf.shape[0]
     ka, kb = jax.random.split(key)
     ua = jax.random.uniform(ka, (n, n_draws), minval=1e-12, maxval=1.0)
     ub = jax.random.uniform(kb, (n, n_draws), minval=1e-12, maxval=1.0)
+    if antithetic:
+        # 1-u stays inside (0, 1-1e-12]; clamp the log argument's floor
+        # to keep exact distributional symmetry with the plain draw.
+        ua = jnp.maximum(1.0 - ua, 1e-12)
+        ub = jnp.maximum(1.0 - ub, 1e-12)
     # First dwell mean: mttr where starting DOWN, mttf where starting UP;
     # then alternate.
     m_first = jnp.where(down0, mttr, mttf)

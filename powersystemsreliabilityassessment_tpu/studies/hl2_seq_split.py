@@ -58,6 +58,12 @@ class SplitConfig:
     max_split: int = 8        # clone budget: parents split per device batch
     entry_target: float = 0.10   # auto-calibration yearly entry fraction
     pilot_years: int = 256    # pilot size for auto-calibration
+    # Draw fresh clones in antithetic (u, 1-u) dwell pairs: tail ENS is
+    # monotone in the dwell uniforms, so pair members are negatively
+    # correlated and the clone average tightens below the independent
+    # value at zero cost. Each member remains exactly distributed, so
+    # unbiasedness is untouched.
+    antithetic_clones: bool = True
 
 
 def _pad_shift_table(v: np.ndarray) -> np.ndarray:
@@ -181,11 +187,26 @@ def make_split_batch_step(sys: System, mesh, years_per_device: int,
         rel = np.arange(hours, dtype=np.int32)
         valid_rel = rel[None, :] < (hours - Tsel)[:, None]   # [S, H]
         if K > 1:
-            ckeys = jax.random.split(kc, (S, K - 1))
-            clone_down = jax.vmap(jax.vmap(
-                lambda kk, s0: chronological.sample_timeline_from_state(
-                    kk, s0, sys.mttf, sys.mttr, hours, n_draws),
-                in_axes=(0, None)))(ckeys, state0)      # [S, K-1, ncomp, H]
+            def sample_tail(anti):
+                def f(kk, s0):
+                    return chronological.sample_timeline_from_state(
+                        kk, s0, sys.mttf, sys.mttr, hours, n_draws,
+                        antithetic=anti)
+                return jax.vmap(jax.vmap(f, in_axes=(0, None)))
+
+            if split.antithetic_clones and K > 2:
+                # (K-1) fresh tails as antithetic (u, 1-u) pairs sharing
+                # a key, plus one independent plain tail if K-1 is odd.
+                n_pairs = (K - 1) // 2
+                rem = (K - 1) - 2 * n_pairs
+                ckeys = jax.random.split(kc, (S, n_pairs + rem))
+                plain = sample_tail(False)(ckeys, state0)
+                anti = sample_tail(True)(ckeys[:, :n_pairs], state0)
+                clone_down = jnp.concatenate([plain, anti], axis=1)
+            else:
+                ckeys = jax.random.split(kc, (S, K - 1))
+                clone_down = sample_tail(False)(ckeys, state0)
+            # clone_down: [S, K-1, ncomp, H]
             # Relative-hour load factors: factor[T + s], zero past year
             # end (zero load => certified zero-shed lane, no LP burned).
             fshift = jax.vmap(lambda t: jax.lax.dynamic_slice(
@@ -316,11 +337,15 @@ def run_seq_split_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
                         max_lp: int = 256,
                         hours: int | None = None,
                         load_scale: float = 1.0,
+                        checkpointer=None,
+                        checkpoint_every: int = 10,
                         log_every: int = 5):
     """SEQ study with multilevel splitting; returns an ``SEQResult``.
 
     ``load_scale`` scales the whole load profile (rare-event configs for
-    the variance-reduction measurements use e.g. 0.85).
+    the variance-reduction measurements use e.g. 0.85). Loop features
+    match run_seq_study: double-buffered dispatch, adaptive LP-buffer
+    growth with an exact same-keys redo, optional checkpoint/resume.
     """
     from powersystemsreliabilityassessment_tpu.parallel.accumulators import (
         AnnualStats)
@@ -354,11 +379,37 @@ def run_seq_split_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
     batch_idx, overflow, split_overflow, entered_total = 0, 0, 0, 0
     years_per_batch = years_per_device * mesh.devices.size
 
-    while (batch_idx * years_per_batch < cfg.max_years
-           and stats.cov > cfg.cov_threshold):
-        out = step(jax.random.fold_in(root, batch_idx))
+    if checkpointer is not None:
+        restored = checkpointer.restore()
+        if restored is not None:
+            st = dict(restored["stats"])
+            for k in ("sum_nodal", "sum_comp_fail"):
+                if st.get(k) is not None:
+                    st[k] = np.asarray(st[k], np.float64)
+            stats = AnnualStats(**st)
+            cov_history = restored["cov_history"]
+            eens_history = restored["eens_history"]
+            batch_idx = int(restored["batch_idx"])
+            overflow = int(restored.get("overflow", 0))
+            split_overflow = int(restored.get("split_overflow", 0))
+            entered_total = int(restored.get("entered_total", 0))
+
+    # Double-buffered host loop (see hl2_nsq.py): dispatch batch k+1
+    # before synchronizing on batch k; convergence check lags one batch.
+    pending = None
+
+    def consume(out) -> bool:
+        nonlocal max_lp, step, overflow, split_overflow, entered_total
         (ens, plc, nlc, dlc, edns, nodal, comp, loss_h, n_over,
          n_sover, n_entered) = out
+        if int(n_over) > 0 and max_lp < hours:
+            max_lp = min(2 * max_lp, hours)
+            print(f"LP buffer overflow ({int(n_over)} h); growing max_lp "
+                  f"to {max_lp} and redoing batch")
+            step = make_split_batch_step(
+                sys, mesh, years_per_device, compat, ipm, hours, n_draws,
+                max_lp, factors, split)
+            return True
         stats.update_years(ens, plc, nlc, dlc, edns, nodal, comp,
                            float(loss_h))
         overflow += int(n_over)
@@ -366,10 +417,34 @@ def run_seq_split_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
         entered_total += int(n_entered)
         eens_history.append(stats.eens)
         cov_history.append(stats.cov)
-        batch_idx += 1
-        if log_every and batch_idx % log_every == 0:
+        n_batches = len(eens_history)
+        if log_every and n_batches % log_every == 0:
             print(f"year {stats.years:5d} | EENS {stats.eens:9.3f} "
                   f"| CoV {stats.cov:.4f} | split-over {split_overflow}")
+        if checkpointer is not None and n_batches % checkpoint_every == 0:
+            checkpointer.save({
+                "stats": dataclasses.asdict(stats),
+                "cov_history": cov_history,
+                "eens_history": eens_history,
+                "batch_idx": batch_idx, "overflow": overflow,
+                "split_overflow": split_overflow,
+                "entered_total": entered_total})
+        return False
+
+    while (batch_idx * years_per_batch < cfg.max_years
+           and stats.cov > cfg.cov_threshold):
+        out = step(jax.random.fold_in(root, batch_idx))
+        if pending is not None and consume(pending[1]):
+            out = step(jax.random.fold_in(root, pending[0]))
+            batch_idx = pending[0]
+            pending = (batch_idx, out)
+            batch_idx += 1
+            continue
+        pending = (batch_idx, out)
+        batch_idx += 1
+
+    if pending is not None:
+        consume(pending[1])
 
     return SEQResult(
         eens_mwh_yr=stats.eens,

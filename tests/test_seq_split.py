@@ -113,3 +113,48 @@ def test_split_auto_level_calibration():
     assert r.eens_mwh_yr >= 0
     # with a 25% entry target, some of the 8 parent years should enter
     assert r.split_entered >= 1
+
+
+def test_split_checkpoint_resume_equals_uninterrupted(tmp_path):
+    from powersystemsreliabilityassessment_tpu.runtime.checkpoint import (
+        Checkpointer)
+    cfg = MCSConfig(max_years=24, cov_threshold=0.0, seed=9)
+    kw = dict(years_per_device=1, max_lp=64, hours=504, log_every=0)
+    sc = SplitConfig(level_mw=600.0, k_clones=2, max_split=2)
+    full = run_seq_split_study(cases.rts24(), cfg, sc, **kw)
+    # interrupted run (3 batches of 8 years): checkpoint every batch,
+    # stop after the first
+    ck = Checkpointer(str(tmp_path / "split.ckpt"))
+    run_seq_split_study(
+        cases.rts24(), MCSConfig(max_years=8, cov_threshold=0.0, seed=9),
+        sc, checkpointer=ck, checkpoint_every=1, **kw)
+    resumed = run_seq_split_study(
+        cases.rts24(), cfg, sc, checkpointer=ck, checkpoint_every=1, **kw)
+    assert resumed.years == full.years
+    assert resumed.eens_mwh_yr == pytest.approx(full.eens_mwh_yr,
+                                                rel=1e-6)
+    assert resumed.lolf_occ_yr == pytest.approx(full.lolf_occ_yr,
+                                                rel=1e-9)
+    np.testing.assert_allclose(resumed.nodal_eens_mwh_yr,
+                               full.nodal_eens_mwh_yr, rtol=1e-5)
+
+
+def test_antithetic_from_state_distribution():
+    # The antithetic draw must be exactly distributed: steady-state
+    # down-fraction of a component over many independent pairs matches
+    # the plain draw's within MC tolerance.
+    case = cases.rts24()
+    from powersystemsreliabilityassessment_tpu.models import twostate
+    mt = twostate.mean_times(case)
+    mttf = jnp.asarray(mt[:, 0], jnp.float32)
+    mttr = jnp.asarray(mt[:, 1], jnp.float32)
+    nd = chronological.default_num_draws(mt[:, 0], mt[:, 1], 336)
+    down0 = jnp.zeros(case.n_comp, bool)
+    keys = jax.random.split(jax.random.key(5), 64)
+    frac = []
+    for anti in (False, True):
+        tl = jax.vmap(lambda k: chronological.sample_timeline_from_state(
+            k, down0, mttf, mttr, 336, nd, antithetic=anti))(keys)
+        frac.append(float(jnp.mean(tl[:, :33].astype(jnp.float32))))
+    # same marginal law -> same expected down fraction (MC noise only)
+    assert abs(frac[0] - frac[1]) < 0.01
