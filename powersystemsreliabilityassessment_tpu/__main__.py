@@ -53,6 +53,15 @@ def main() -> None:
                           "studies/hl2_seq_split.py)")
     seq.add_argument("--split-k", type=int, default=4,
                      help="tail samples per split parent (incl. parent)")
+    seq.add_argument("--control-variate", action="store_true",
+                     help="copper-sheet control variate with exact f64 "
+                          "COPT mean (implies --sampling stationary; "
+                          "studies/hl2_seq.py)")
+    seq.add_argument("--sampling", default="reference",
+                     choices=("reference", "stationary"),
+                     help="'stationary' starts each year from the "
+                          "stationary component distribution "
+                          "(continuous dwells, no January transient)")
     seq.add_argument("--split-max", type=int, default=8,
                      help="max split parents per device batch")
 
@@ -140,7 +149,9 @@ def main() -> None:
             res = run_seq_study(case, MCSConfig(
                 max_years=args.years, cov_threshold=args.cov,
                 seed=args.seed),
-                years_per_device=args.years_per_device, checkpointer=ck)
+                years_per_device=args.years_per_device, checkpointer=ck,
+                sampling=args.sampling,
+                control_variate=args.control_variate)
         report.export_study(res, args.out, "seq")
         report.plot_seq(res, f"{args.out}/convergence_curve.png", args.cov,
                         case.n_gen)

@@ -192,6 +192,74 @@ def lole_eue_lfu(probs: jax.Array, step: float, total_capacity, loads,
     return jnp.sum(lo), jnp.sum(eu)
 
 
+def build_copt_np(capacities_mw: np.ndarray, q: np.ndarray,
+                  step: float = 1.0) -> np.ndarray:
+    """Host-side float64 COPT (same recursion as :func:`build_copt`).
+
+    Used for the sequential study's control-variate means, where the
+    expectation must be exact to f64 so it cannot inject bias into the
+    adjusted estimator (studies/hl2_seq.py). For integer-MW capacities on
+    a 1 MW grid (every RTS fleet) the table is exact — the rounding
+    interpolation never triggers.
+    """
+    caps = np.asarray(capacities_mw, np.float64)
+    q = np.asarray(q, np.float64)
+    n = int(np.ceil(caps.sum() / step)) + 1
+    probs = np.zeros(n)
+    probs[0] = 1.0
+    for cap, qq in zip(caps, q):
+        k_low = int(np.floor(cap / step))
+        alpha = cap / step - k_low
+        new = (1.0 - qq) * probs
+        shifted = np.zeros(n)
+        shifted[k_low:] = probs[:n - k_low]
+        new += qq * (1.0 - alpha) * shifted
+        if alpha > 0.0:
+            shifted2 = np.zeros(n)
+            shifted2[k_low + 1:] = probs[:n - k_low - 1]
+            new += qq * alpha * shifted2
+        probs = new
+    return probs
+
+
+def copper_cv_means(capacities_mw: np.ndarray, q: np.ndarray,
+                    loads_mw: np.ndarray, thresh_mw: float = 0.0,
+                    step: float = 1.0):
+    """Exact (f64) means of the copper-sheet control variates.
+
+    Returns ``(mu_eens, mu_lole, eue_h, lolp_h)`` for an hourly load
+    vector under the STATIONARY outage distribution:
+
+        eue_h  = E[(Outage - reserve_h)+]        (MWh at 1-hour steps)
+        lolp_h = P[Outage > reserve_h - thresh]  (copper deficit > thresh)
+
+    with ``reserve_h = sum(capacities) - loads_mw[h]``. These are the
+    exact expectations of the per-hour copper deficit / loss flag that
+    the sequential study computes on-device from stationary-start
+    timelines (chronological.sample_timeline_stationary) — pass the SAME
+    float32-rounded ``loads_mw`` the device uses so the two sides see
+    identical load values. Suffix-sum evaluation mirrors
+    :func:`risk_at_loads` (strict inequality via floor(r/step)+1,
+    generating_adequacy_assessment.jl:122-141) but stays in numpy f64.
+    """
+    probs = build_copt_np(capacities_mw, q, step)
+    n = probs.shape[0]
+    x = np.arange(n, dtype=np.float64) * step
+    s0 = np.concatenate([np.cumsum(probs[::-1])[::-1], [0.0]])
+    s1 = np.concatenate([np.cumsum((probs * x)[::-1])[::-1], [0.0]])
+    total = float(np.asarray(capacities_mw, np.float64).sum())
+    loads = np.asarray(loads_mw, np.float64)
+
+    reserve = total - loads
+    idx = np.clip(np.floor(reserve / step).astype(np.int64) + 1, 0, n)
+    eue_h = s1[idx] - reserve * s0[idx]
+    # Copper deficit > thresh  <=>  Outage > reserve + thresh.
+    r2 = reserve + thresh_mw
+    idx2 = np.clip(np.floor(r2 / step).astype(np.int64) + 1, 0, n)
+    lolp_h = s0[idx2]
+    return float(eue_h.sum()), float(lolp_h.sum()), eue_h, lolp_h
+
+
 @partial(jax.jit, static_argnames=("step", "hours_per_year"))
 def fd_risk(cum_p: jax.Array, cum_f: jax.Array, step: float,
             total_capacity, peak_load, hours_per_year: float = 8760.0):

@@ -86,6 +86,32 @@ def sample_timeline_batch(key: jax.Array, mttf: jax.Array, mttr: jax.Array,
         k, mttf, mttr, hours, n_draws, quantize))(keys)
 
 
+@partial(jax.jit, static_argnames=("hours", "n_draws"))
+def sample_timeline_stationary(key: jax.Array, mttf: jax.Array,
+                               mttr: jax.Array, hours: int,
+                               n_draws: int) -> jax.Array:
+    """Stationary-start chronological realization (continuous dwells).
+
+    The initial state is drawn from the stationary distribution,
+    ``down0 ~ Bernoulli(U)`` with ``U = mttr/(mttf+mttr)``; by the
+    memorylessness of the exponential dwells the residual dwell of a
+    component observed at its stationary phase is again exponential with
+    the full mean, so the state at EVERY hour is exactly ``Bernoulli(U)``
+    — the marginal never leaves the stationary law. The reference starts
+    all-up (seq_mcsampling.m:44-55), so its early hours under-count
+    failures with time constant ~= MTTR (~50-150 h) — during the RTS-79
+    winter peak. This per-hour exactness is the prerequisite for the
+    copper-sheet control variate (studies/hl2_seq.py,
+    ``control_variate=True``): the analytical COPT expectation equals the
+    sampled copper-deficit mean at every hour.
+    """
+    k0, k1 = jax.random.split(key)
+    u = mttr / (mttf + mttr)
+    down0 = jax.random.uniform(k0, mttf.shape) < u
+    return sample_timeline_from_state(k1, down0, mttf, mttr, hours,
+                                      n_draws)
+
+
 @partial(jax.jit, static_argnames=("hours", "n_draws", "antithetic"))
 def sample_timeline_from_state(key: jax.Array, down0: jax.Array,
                                mttf: jax.Array, mttr: jax.Array,

@@ -42,7 +42,8 @@ from powersystemsreliabilityassessment_tpu.utils.config import (
 def _years_eval(sys: System, compat: CompatFlags, ipm: IPMConfig,
                 factors: jax.Array, hours: int, n_draws: int, max_lp: int,
                 maint_down: jax.Array | None, nodal_mode: str,
-                keys: jax.Array):
+                keys: jax.Array, stationary: bool = False,
+                cv_arrays: tuple[jax.Array, jax.Array] | None = None):
     """Evaluate a block of simulated years as ONE flat evaluation batch.
 
     Only the chronological sampling is vmapped (it is ~free with the
@@ -54,8 +55,15 @@ def _years_eval(sys: System, compat: CompatFlags, ipm: IPMConfig,
     LP-lane buffer for the whole block.
     """
     Y = keys.shape[0]
-    down = jax.vmap(lambda kk: chronological.sample_timeline(
-        kk, sys.mttf, sys.mttr, hours, n_draws))(keys)    # [Y, ncomp, H]
+    if stationary:
+        # Stationary start + continuous dwells: every hour's marginal is
+        # exactly Bernoulli(U) — required by the control-variate mode,
+        # and removes the reference's all-up January transient.
+        down = jax.vmap(lambda kk: chronological.sample_timeline_stationary(
+            kk, sys.mttf, sys.mttr, hours, n_draws))(keys)
+    else:
+        down = jax.vmap(lambda kk: chronological.sample_timeline(
+            kk, sys.mttf, sys.mttr, hours, n_draws))(keys)  # [Y, ncomp, H]
     down_h = jnp.swapaxes(down, 1, 2)                     # [Y, H, ncomp]
     if maint_down is not None:
         down_h = down_h | maint_down[None]
@@ -79,9 +87,25 @@ def _years_eval(sys: System, compat: CompatFlags, ipm: IPMConfig,
     comp_fail = jnp.einsum("yh,yhc->yc", flag_f,
                            down_h.astype(dns.dtype))      # [Y, ncomp]
     loss_hours = dlc
-    return (ens, plc, nlc, dlc, ens / hours,
+    outs = (ens, plc, nlc, dlc, ens / hours,
             nodal, comp_fail, loss_hours, n_over,
             jnp.sum(res.infeasible))
+    if cv_arrays is not None:
+        # Copper-sheet control variates, in MW so the analytical means
+        # (copt.copper_cv_means) see bit-identical load values: loads_mw
+        # is the f32-rounded hourly system load, gen_cap_mw the integer
+        # unit capacities (integer-valued f32 => the einsum capacity sum
+        # is exact; matmul precision is "highest" package-wide).
+        loads_mw, gen_cap_mw = cv_arrays
+        gen_up = 1.0 - down[:, :sys.n_gen, :].astype(dns.dtype)
+        cap_mw = jnp.einsum("ygh,g->yh", gen_up, gen_cap_mw)
+        deficit = jnp.maximum(loads_mw[None, :] - cap_mw, 0.0)  # [Y, H]
+        c_ens = jnp.sum(deficit, axis=1)
+        c_dlc = jnp.sum(
+            (deficit > compat.seq_curtail_threshold_mw).astype(dns.dtype),
+            axis=1)
+        outs = outs + (c_ens, c_dlc)
+    return outs
 
 
 def make_seq_batch_step(sys: System, mesh: Mesh, years_per_device: int,
@@ -89,7 +113,10 @@ def make_seq_batch_step(sys: System, mesh: Mesh, years_per_device: int,
                         hours: int, n_draws: int, max_lp: int,
                         factors: np.ndarray,
                         maint_down: np.ndarray | None = None,
-                        nodal_mode: str = "lp"):
+                        nodal_mode: str = "lp",
+                        stationary: bool = False,
+                        cv_arrays: tuple[np.ndarray, np.ndarray]
+                        | None = None):
     # The System pytree and load-profile vector enter the jitted step as
     # ARGUMENTS, not closure constants. Closing over device-resident
     # arrays is the root cause of the round-1 SEQ cold-start blowup
@@ -101,18 +128,23 @@ def make_seq_batch_step(sys: System, mesh: Mesh, years_per_device: int,
     # leftover static constants are built with numpy (host-embedded).
     fac = jnp.asarray(factors, np.float32)
     md = None if maint_down is None else jnp.asarray(maint_down)
+    cv = cv_arrays is not None
+    n_md = 0 if md is None else 1
 
-    def device_step(key, sys, fac, *md_arg):
+    def device_step(key, sys, fac, *rest):
+        md_arg = rest[0] if n_md else None
+        cva = rest[n_md:n_md + 2] if cv else None
         dev = jax.lax.axis_index(meshlib.SCENARIO_AXIS)
         k = jax.random.fold_in(key, dev)
         keys = jax.random.split(k, years_per_device)
         outs = _years_eval(sys, compat, ipm, fac, hours, n_draws,
                            max_lp * years_per_device,
-                           md_arg[0] if md_arg else None, nodal_mode, keys)
+                           md_arg, nodal_mode, keys,
+                           stationary=stationary, cv_arrays=cva)
         # Per-year vectors are gathered (all years visible on all hosts);
         # scalar accumulators are psum-reduced.
         (ens, plc, nlc, dlc, edns, nodal, comp_fail, loss_h, n_over,
-         n_infeas) = outs
+         n_infeas), cv_outs = outs[:10], outs[10:]
         gather = lambda a: jax.lax.all_gather(
             a, meshlib.SCENARIO_AXIS, tiled=True)
         return (gather(ens), gather(plc), gather(nlc), gather(dlc),
@@ -121,15 +153,20 @@ def make_seq_batch_step(sys: System, mesh: Mesh, years_per_device: int,
                 jax.lax.psum(jnp.sum(comp_fail, 0), meshlib.SCENARIO_AXIS),
                 jax.lax.psum(jnp.sum(loss_h), meshlib.SCENARIO_AXIS),
                 jax.lax.psum(jnp.sum(n_over), meshlib.SCENARIO_AXIS),
-                jax.lax.psum(jnp.sum(n_infeas), meshlib.SCENARIO_AXIS))
+                jax.lax.psum(jnp.sum(n_infeas), meshlib.SCENARIO_AXIS),
+                ) + tuple(gather(a) for a in cv_outs)
 
-    n_in = 3 + (0 if md is None else 1)
+    n_in = 3 + n_md + (2 if cv else 0)
+    n_out = 10 + (2 if cv else 0)
     jstep = jax.jit(shard_map(
         device_step, mesh=mesh, in_specs=(P(),) * n_in,
-        out_specs=(P(),) * 10,
+        out_specs=(P(),) * n_out,
         check_vma=False,
     ))
-    extra = (sys, fac) if md is None else (sys, fac, md)
+    extra = (sys, fac) + (() if md is None else (md,))
+    if cv:
+        extra = extra + (jnp.asarray(cv_arrays[0], np.float32),
+                         jnp.asarray(cv_arrays[1], np.float32))
     step = lambda key: jstep(key, *extra)
     # AOT handles for probes/tests (scripts/probe_seq_*.py).
     step.jstep, step.extra_args = jstep, extra
@@ -185,17 +222,63 @@ def run_seq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
                   scheduled_maintenance: bool = False,
                   checkpointer: Checkpointer | None = None,
                   checkpoint_every: int = 20,
-                  log_every: int = 5) -> SEQResult:
+                  log_every: int = 5,
+                  sampling: str = "reference",
+                  control_variate: bool = False,
+                  load_scale: float = 1.0) -> SEQResult:
+    """See module docstring. Beyond the reference path:
+
+    ``sampling="stationary"`` starts each year from the stationary
+    component distribution with continuous dwells (no all-up January
+    transient; chronological.sample_timeline_stationary).
+    ``control_variate=True`` (implies stationary sampling) subtracts the
+    copper-sheet deficit from each year's indices and adds back its
+    EXACT stationary expectation from a float64 COPT
+    (copt.copper_cv_means): EENS_cv = mu_C + mean(ENS - C). Unbiased by
+    construction; the network-free copper deficit explains most of the
+    ENS variance, so the residual variance is far smaller. The reference
+    has no counterpart (its SEQ loop is plain MC, seqMain.m:85-199).
+    """
     from powersystemsreliabilityassessment_tpu.parallel.accumulators import AnnualStats
+
+    if control_variate and sampling == "reference":
+        sampling = "stationary"
+    if sampling not in ("reference", "stationary"):
+        raise ValueError(f"unknown sampling mode {sampling!r}")
+    if control_variate and scheduled_maintenance:
+        raise ValueError("control_variate requires a stationary fleet; "
+                         "scheduled maintenance breaks stationarity")
+    stationary = sampling == "stationary"
 
     sys = build_system(case, compat)
     mesh = mesh or meshlib.scenario_mesh()
     meshlib.warmup_backend()
     hours = hours or compat.hours_per_year_seq
     factors = load_profile.load_factors(hours, compat.weekday_mode)
+    if load_scale != 1.0:
+        factors = factors * load_scale
     n_draws = chronological.default_num_draws(
         twostate.mean_times(case)[:, 0], twostate.mean_times(case)[:, 1],
         hours)
+
+    cv_arrays, mu_eens, mu_lole = None, 0.0, 0.0
+    if control_variate:
+        from powersystemsreliabilityassessment_tpu.engines import copt
+        gen_cap_mw = np.asarray(case.gen_pmax, np.float32)
+        total_load_mw = float(np.sum(np.asarray(case.bus_pd, np.float64)))
+        # f32-round the hourly loads BEFORE computing the analytical
+        # means so host and device see bit-identical load values.
+        loads_mw = (np.asarray(factors, np.float64)
+                    * total_load_mw).astype(np.float32)
+        q_gen = twostate.unavailability(case)[:case.n_gen]
+        mu_eens, mu_lole, _, _ = copt.copper_cv_means(
+            gen_cap_mw.astype(np.float64), q_gen,
+            loads_mw.astype(np.float64),
+            thresh_mw=compat.seq_curtail_threshold_mw)
+        cv_arrays = (loads_mw, gen_cap_mw)
+        if log_every:
+            print(f"control variate: mu_EENS {mu_eens:.3f} MWh/yr, "
+                  f"mu_LOLE {mu_lole:.4f} h/yr (exact f64 COPT)")
 
     maint_down = None
     if scheduled_maintenance:
@@ -223,7 +306,8 @@ def run_seq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
 
     step = make_seq_batch_step(sys, mesh, years_per_device, compat, ipm,
                                hours, n_draws, max_lp, factors, maint_down,
-                               nodal_mode=cfg.nodal_mode)
+                               nodal_mode=cfg.nodal_mode,
+                               stationary=stationary, cv_arrays=cv_arrays)
     root = jax.random.key(cfg.seed)
 
     stats = AnnualStats()
@@ -252,15 +336,28 @@ def run_seq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
     def consume(out) -> bool:
         nonlocal max_lp, step, overflow, infeasible
         (ens, plc, nlc, dlc, edns, nodal, comp_fail, loss_h, n_over,
-         n_infeas) = out
+         n_infeas) = out[:10]
         if int(n_over) > 0 and max_lp < hours:
             max_lp = min(2 * max_lp, hours)
             print(f"LP buffer overflow ({int(n_over)} h); growing max_lp "
                   f"to {max_lp} and redoing batch")
             step = make_seq_batch_step(
                 sys, mesh, years_per_device, compat, ipm, hours, n_draws,
-                max_lp, factors, maint_down, nodal_mode=cfg.nodal_mode)
+                max_lp, factors, maint_down, nodal_mode=cfg.nodal_mode,
+                stationary=stationary, cv_arrays=cv_arrays)
             return True
+        if control_variate:
+            # Adjusted per-year values Y_i = ENS_i - C_i + mu_C (f64 on
+            # host). E[C_i] = mu_C exactly under stationary sampling, so
+            # the estimator mean is untouched while the copper deficit's
+            # variance is removed. NLC/nodal/weak-point stay plain
+            # (unbiased; no copper counterpart with an exact mean).
+            c_ens = np.asarray(out[10], np.float64)
+            c_dlc = np.asarray(out[11], np.float64)
+            ens = np.asarray(ens, np.float64) - c_ens + mu_eens
+            dlc = np.asarray(dlc, np.float64) - c_dlc + mu_lole
+            plc = dlc / hours
+            edns = ens / hours
         stats.update_years(ens, plc, nlc, dlc, edns, nodal, comp_fail,
                            float(loss_h))
         overflow += int(n_over)
