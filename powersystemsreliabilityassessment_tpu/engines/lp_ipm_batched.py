@@ -70,6 +70,26 @@ def _make_chol_ops(batch: int, m: int):
 
         factor = blocked_chol.blocked_cholesky
         solve = blocked_chol.blocked_cho_solve
+    elif m > _BLOCKED_MAX_M:
+        # Large-m XLA path (case300 scale, m ~ 792): the f32 Cholesky of
+        # the barrier-weighted normal matrix loses enough accuracy that
+        # Newton directions stall the IPM at mu ~ 1e-4 (observed: 8-60 MW
+        # DNS errors on concentrated deep contingencies vs the HiGHS f64
+        # oracle, scripts/parity_case300.py). Two iterative-refinement
+        # steps against the (retained) scaled matrix restore direction
+        # quality; cost is two extra triangular solves + one [B,m,m]
+        # matvec per solve — small next to the factorization.
+        def factor(M):
+            return (jnp.linalg.cholesky(M), M)
+
+        def solve(FM, r):
+            L, M = FM
+            cs = jax.vmap(lambda LL, rr: jax.scipy.linalg.cho_solve(
+                (LL, True), rr))
+            dy = cs(L, r)
+            for _ in range(2):
+                dy = dy + cs(L, r - jnp.einsum("bij,bj->bi", M, dy))
+            return dy
     else:
         def factor(M):
             return jnp.linalg.cholesky(M)
@@ -286,13 +306,40 @@ def solve_box_lp_batched(c, A, b, l, u,
         zu = jnp.where(keep, zu, zun)
         return (x, y, zl, zu, done, best_score, best_x)
 
-    state = (x0, y0, z0, z0, jnp.zeros_like(b[:, 0], dtype=bool),
-             jnp.full_like(b[:, 0], jnp.inf), x0)
-    x, y, zl, zu, _, best_score, best_x = jax.lax.fori_loop(
-        0, cfg.iterations, body, state)
+    def one_pass(x_init) -> LPBatchSolution:
+        state = (x_init, y0, z0, z0, jnp.zeros_like(b[:, 0], dtype=bool),
+                 jnp.full_like(b[:, 0], jnp.inf), x_init)
+        x, y, zl, zu, _, best_score, best_x = jax.lax.fori_loop(
+            0, cfg.iterations, body, state)
+        return polish_box_lp(
+            (x, y, zl, zu, best_score, best_x), c, b, l, u, cfg,
+            mv_fn=lambda v: mv(A, v),
+            mtv_fn=lambda yy: jnp.einsum("bmn,bm->bn", A, yy),
+            gram_fn=lambda w: (A * w[:, None, :]) @ At)
 
-    return polish_box_lp(
-        (x, y, zl, zu, best_score, best_x), c, b, l, u, cfg,
-        mv_fn=lambda v: mv(A, v),
-        mtv_fn=lambda yy: jnp.einsum("bmn,bm->bn", A, yy),
-        gram_fn=lambda w: (A * w[:, None, :]) @ At)
+    sol = one_pass(x0)
+    # Large-m stall rescue: lanes can converge to near-complementary but
+    # SUBOPTIMAL points when f32 Newton directions degrade (gap ~ 2n*mu
+    # => tens of MW of hidden objective error at m ~ 792). A second pass
+    # warm-started from the POLISHED (projected + crossover-snapped)
+    # solution — pushed strictly inside the box, fresh duals — resets the
+    # barrier weights and escapes the stall (measured: 7.7 -> 0.7 MW max
+    # DNS error vs HiGHS f64 on the case300s deep-contingency suite).
+    # Per-lane merge keeps whichever pass is better (feasibility first,
+    # then objective), so well-converged lanes cannot regress.
+    n_restarts = (cfg.restarts if cfg.restarts is not None
+                  else (1 if m > _BLOCKED_MAX_M else 0))
+    for _ in range(n_restarts):
+        prev = sol
+        sol = one_pass(jnp.clip(sol.x, l + 0.02 * width, u - 0.02 * width))
+        pen = lambda s: (s.objective
+                         + 1e4 * jnp.maximum(s.primal_residual - 3e-4, 0.0))
+        take_new = pen(sol) < pen(prev)
+        pick = lambda a_new, a_old: jnp.where(
+            take_new[:, None] if a_new.ndim == 2 else take_new, a_new, a_old)
+        sol = LPBatchSolution(
+            x=pick(sol.x, prev.x),
+            objective=pick(sol.objective, prev.objective),
+            primal_residual=pick(sol.primal_residual, prev.primal_residual),
+            duality_gap=pick(sol.duality_gap, prev.duality_gap))
+    return sol

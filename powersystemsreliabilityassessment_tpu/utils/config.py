@@ -89,3 +89,7 @@ class IPMConfig:
     # Below this mu the solver switches from Mehrotra predictor-corrector
     # to damped pure-centering steps (f32 stability; see lp_ipm.py).
     center_tol: float = 1e-4
+    # Extra polished warm-restart passes of the batched IPM (stall rescue
+    # for large m; lp_ipm_batched.solve_box_lp_batched). None = auto:
+    # 1 when m exceeds the blocked-Cholesky range (case300 scale), else 0.
+    restarts: int | None = None

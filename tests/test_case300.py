@@ -1,0 +1,82 @@
+"""case300-scale (m = 792) LP-path regression: the large-m XLA solver
+with iterative refinement + polished warm restart must match the float64
+HiGHS oracle on concentrated deep contingencies.
+
+This is the m > _BLOCKED_MAX_M branch of lp_ipm_batched._make_chol_ops
+(cases.case300s; SURVEY §2.4 loadcase scale obligation). Without the
+refinement/restart rescue these lanes either stall at hidden 8-60 MW
+objective errors or trip the 5e-3 quality guard and degrade to zero
+copper bounds while the true shed is transmission-limited and positive
+(measured in scripts/parity_case300.py).
+"""
+import numpy as np
+import jax.numpy as jnp
+from scipy.optimize import linprog
+
+from powersystemsreliabilityassessment_tpu.core import cases
+from powersystemsreliabilityassessment_tpu.core.system import build_system
+from powersystemsreliabilityassessment_tpu.engines import lp_ipm_batched
+from powersystemsreliabilityassessment_tpu.engines.dcopf import build_state_lp
+from powersystemsreliabilityassessment_tpu.utils.config import (
+    CompatFlags, IPMConfig)
+
+
+def _concentrated_states(case, n):
+    """Deep gen+line outages inside ONE RTS-24 tile of the 300-bus system
+    (the scripts/parity_case300.py 'concentrated' recipe, made
+    deterministic): the k largest units of one area go down, so the area
+    deficit exceeds the ring import and the shed is transmission-limited
+    — the hardest conditioning regime for the f32 normal equations."""
+    ng, nl = case.n_gen, case.n_branch
+    area_ng, area_nl = 33, 38
+    states = np.zeros((n, ng + nl), np.float32)
+    for i in range(n):
+        a = 2 * i + 1                  # distinct areas
+        pm = case.gen_pmax[a * area_ng:(a + 1) * area_ng]
+        gs = np.argsort(pm)[-(9 + i):]  # 9..12 largest units
+        states[i, a * area_ng + gs] = 1.0
+        states[i, ng + a * area_nl + np.array([3 + i, 17])] = 1.0
+    return states
+
+
+def test_large_m_ipm_matches_f64_oracle():
+    case = cases.case300s()
+    sys_ = build_system(case)
+    ng, nd = int(sys_.n_gen), int(sys_.load_pd.shape[0])
+    base = float(sys_.base_mva)
+    compat, ipm = CompatFlags(), IPMConfig()
+    load = jnp.asarray(sys_.load_pd, jnp.float32)
+
+    states = _concentrated_states(case, 4)
+    lps = [build_state_lp(sys_, jnp.asarray(1.0 - s[:ng], jnp.float32),
+                          jnp.asarray(1.0 - s[ng:], jnp.float32),
+                          load, compat, ipm.theta_max) for s in states]
+    c = jnp.stack([t[0] for t in lps])
+    A = jnp.stack([t[1] for t in lps])
+    b = jnp.stack([t[2] for t in lps])
+    l = jnp.stack([t[3] for t in lps])
+    u = jnp.stack([t[4] for t in lps])
+    assert A.shape[1] > lp_ipm_batched._BLOCKED_MAX_M  # the XLA branch
+
+    # f64 oracle on the SAME f32-built LP data (scipy is numpy-f64).
+    refs = []
+    for i in range(len(states)):
+        r = linprog(np.asarray(c[i], np.float64),
+                    A_eq=np.asarray(A[i], np.float64),
+                    b_eq=np.asarray(b[i], np.float64),
+                    bounds=list(zip(np.asarray(l[i], np.float64),
+                                    np.asarray(u[i], np.float64))),
+                    method="highs")
+        assert r.status == 0, r.message
+        refs.append(float(np.sum(r.x[ng:ng + nd])) * base)
+    refs = np.asarray(refs)
+    assert (refs > 1.0).any()  # the recipe produced real shed
+
+    sol = lp_ipm_batched.solve_box_lp_batched(c, A, b, l, u, ipm)
+    dns = np.asarray(jnp.sum(sol.x[:, ng:ng + nd], axis=1)) * base
+    err = np.abs(dns - refs)
+    # The f32 floor on these deep lanes is ~0.7 MW (vs 7.7 MW without the
+    # rescue and 42-324 MW of true shed); lanes must not trip the 5e-3
+    # quality guard (that would silently degrade them to zero bounds).
+    assert err.max() < 1.5, (dns, refs)
+    assert np.asarray(sol.primal_residual).max() < 5e-3
