@@ -32,6 +32,10 @@ def main() -> None:
     nsq.add_argument("--is-boost", type=float, default=0.0,
                      help="importance-sampling failure boost (0 = plain "
                           "MC; try 2-4 for rare-event regimes)")
+    nsq.add_argument("--control-variate", action="store_true",
+                     help="copper-sheet control variate with exact f64 "
+                          "COPT mean (composes with --is-boost and "
+                          "antithetic; studies/hl2_nsq.py)")
 
     seq = sub.add_parser("seq")
     seq.add_argument("--case", default="rts24")
@@ -114,7 +118,8 @@ def main() -> None:
         res = run_nsq_study(case, MCSConfig(
             batch_size=args.batch, max_samples=args.samples,
             beta_limit=args.beta, seed=args.seed,
-            is_boost=args.is_boost), checkpointer=ck)
+            is_boost=args.is_boost), checkpointer=ck,
+            control_variate=args.control_variate)
         report.export_study(res, args.out, "nsq")
         report.plot_nsq(res, f"{args.out}/convergence.png", args.beta)
         report.plot_nodal_and_weakpoints(

@@ -35,23 +35,45 @@ class BatchMoments(NamedTuple):
 
 
 def batch_moments(dns_mw, nodal_mw, failure, comp_down,
-                  weight=None) -> BatchMoments:
+                  weight=None, cv=None) -> BatchMoments:
     """Partial sums; ``weight`` [B] turns every index into an
     importance-sampling estimate (E_q[w f(X)] = E_p[f(X)]): DNS, flags
     and nodal sheds are weighted while ``n`` stays the sample COUNT, so
     the downstream mean/beta formulas compute the IS estimator and its
     CoV unchanged. Ratio indices (component importance = weighted
-    comp-down-and-fail over weighted fail) also come out right."""
+    comp-down-and-fail over weighted fail) also come out right.
+
+    ``cv = (c_mw, c_flag)`` applies the copper-sheet control variate
+    (studies/hl2_nsq.py ``control_variate=True``): the DNS/flag sums and
+    second moment track the RESIDUALS ``w*(dns - c)`` / ``w*(flag -
+    c_flag)``; the host adds back the exact copper means (RunningStats
+    ``mu_dns``/``mu_flag`` offsets). Keeping the device sums residual-
+    only is essential: the residuals are ~1000x smaller than the values,
+    and f32 accumulation of ``sum((r + mu)^2)`` loses the entire
+    residual variance to cancellation (observed: beta reported 5e-6
+    where the true CoV was 1e-3, silently stopping studies early).
+    Expectation is unchanged (E[w*c] = mu_C exactly, for plain,
+    antithetic and importance sampling alike). Nodal and component-
+    importance sums stay on the raw weighted values."""
     f = failure.astype(dns_mw.dtype)
     if weight is not None:
         dns_mw = dns_mw * weight
         nodal_mw = nodal_mw * weight[:, None]
         f = f * weight
+    v, vf = dns_mw, f
+    if cv is not None:
+        c_mw, c_flag = cv
+        cw = c_mw if weight is None else c_mw * weight
+        cfw = c_flag.astype(dns_mw.dtype)
+        if weight is not None:
+            cfw = cfw * weight
+        v = dns_mw - cw
+        vf = f - cfw
     return BatchMoments(
         n=np.asarray(dns_mw.shape[0], dns_mw.dtype),
-        sum_dns=jnp.sum(dns_mw),
-        sum_dns_sq=jnp.sum(dns_mw * dns_mw),
-        sum_flag=jnp.sum(f),
+        sum_dns=jnp.sum(v),
+        sum_dns_sq=jnp.sum(v * v),
+        sum_flag=jnp.sum(vf),
         sum_nodal=jnp.sum(nodal_mw, axis=0),
         sum_comp_fail=f @ comp_down.astype(dns_mw.dtype),
     )
@@ -69,7 +91,13 @@ MOMENTS_OUT_SPECS = BatchMoments(
 
 @dataclasses.dataclass
 class RunningStats:
-    """Host-side float64 cross-batch accumulator (NSQ path)."""
+    """Host-side float64 cross-batch accumulator (NSQ path).
+
+    Under the control variate the dns/flag sums hold RESIDUALS (see
+    batch_moments) and ``mu_dns``/``mu_flag`` carry the exact copper
+    means added back at reporting time; both default to 0, so plain-MC
+    behavior (and old checkpoints) are unchanged.
+    """
 
     n: float = 0.0
     sum_dns: float = 0.0
@@ -77,6 +105,8 @@ class RunningStats:
     sum_flag: float = 0.0
     sum_nodal: np.ndarray | None = None
     sum_comp_fail: np.ndarray | None = None
+    mu_dns: float = 0.0
+    mu_flag: float = 0.0
 
     def update(self, m: BatchMoments) -> None:
         m = jax.tree.map(lambda a: np.asarray(a, np.float64), m)
@@ -92,11 +122,11 @@ class RunningStats:
     # -- reliability indices (nsqMain.m:281-301) ---------------------------
     @property
     def edns(self) -> float:
-        return self.sum_dns / max(self.n, 1.0)
+        return self.mu_dns + self.sum_dns / max(self.n, 1.0)
 
     @property
     def plc(self) -> float:
-        return self.sum_flag / max(self.n, 1.0)
+        return self.mu_flag + self.sum_flag / max(self.n, 1.0)
 
     def lole(self, hours_per_year: float = 8760.0) -> float:
         return self.plc * hours_per_year
@@ -108,10 +138,18 @@ class RunningStats:
         Matches nsqMain.m:297-301: sqrt(sum (dns - EDNS)^2) / (N * EDNS),
         using sum (dns-mean)^2 = sum dns^2 - N mean^2.
         """
-        if self.n <= 0 or self.sum_dns <= 0:
-            return float("inf")
         mean = self.edns
-        ss = max(self.sum_dns_sq - self.n * mean * mean, 0.0)
+        if self.n <= 0 or mean <= 0:
+            return float("inf")
+        # Under the control variate the sums are residuals r = v - mu_C;
+        # var(v) = var(r), so the spread comes from the residual moments
+        # while the mean in the denominator includes the offset.
+        rbar = self.sum_dns / self.n
+        ss = max(self.sum_dns_sq - self.n * rbar * rbar, 0.0)
+        if ss == 0.0 and self.mu_dns > 0.0:
+            # CV mode with no residual variance OBSERVED yet (e.g. no
+            # shed state sampled): convergence cannot be assessed.
+            return float("inf")
         return float(np.sqrt(ss) / (self.n * mean))
 
     def nodal_eens(self, hours_per_year: float = 8760.0) -> np.ndarray:

@@ -37,8 +37,13 @@ from powersystemsreliabilityassessment_tpu.utils.config import (
 def make_nsq_batch_step(sys: System, mesh: Mesh, batch_per_device: int,
                         compat: CompatFlags, ipm: IPMConfig,
                         max_lp: int | None = None, antithetic: bool = False,
-                        nodal_mode: str = "lp", is_boost: float = 0.0):
-    """Build the jitted, mesh-sharded one-batch step: key -> BatchMoments."""
+                        nodal_mode: str = "lp", is_boost: float = 0.0,
+                        cv_arrays: tuple | None = None):
+    """Build the jitted, mesh-sharded one-batch step: key -> BatchMoments.
+
+    ``cv_arrays = (gen_cap_mw [ng] f32, total_load_mw, mu_e, mu_l)``
+    enables the copper-sheet control variate (see run_nsq_study).
+    """
     from powersystemsreliabilityassessment_tpu.sampling.state import (
         sample_states, sample_states_importance)
 
@@ -52,7 +57,11 @@ def make_nsq_batch_step(sys: System, mesh: Mesh, batch_per_device: int,
         frac = 4 if is_boost <= 1.0 else 2
         max_lp = max(batch_per_device // frac, 16)
 
-    def device_step(key, sys):
+    if cv_arrays is not None:
+        gen_cap_mw = jnp.asarray(cv_arrays[0], jnp.float32)
+        total_load_mw = np.float32(cv_arrays[1])  # host constant
+
+    def device_step(key, sys, *cv_cap):
         # sys enters as an ARGUMENT (tracers), never a closure constant —
         # see make_seq_batch_step for why (trace-time eager dispatch +
         # per-constant device fetches at lowering through the TPU relay).
@@ -70,20 +79,35 @@ def make_nsq_batch_step(sys: System, mesh: Mesh, batch_per_device: int,
                                 (batch_per_device, sys.n_load))
         res, n_over = dcopf.evaluate_states_screened(
             sys, down, load, max_lp, compat, ipm, nodal_mode)
+        cv = None
+        if cv_cap:
+            # Copper-sheet control variate in MW: integer-valued f32 unit
+            # capacities => the einsum capacity sum is exact, and the
+            # analytical means (copt.copper_cv_means) were computed from
+            # the same f32-rounded total load. Only the RESIDUALS go into
+            # the moments (see accumulators.batch_moments); the exact
+            # means live on the host accumulator.
+            gen_up = 1.0 - down[:, :sys.n_gen].astype(res.dns_mw.dtype)
+            c_mw = jnp.maximum(
+                total_load_mw - gen_up @ cv_cap[0], 0.0)       # [B]
+            c_flag = c_mw > compat.nsq_fail_flag_threshold_mw
+            cv = (c_mw, c_flag)
         m = accumulators.batch_moments(res.dns_mw, res.nodal_mw, res.failure,
-                                       down, weight)
+                                       down, weight, cv)
         return (accumulators.psum_moments(m),
                 jax.lax.psum(n_over, meshlib.SCENARIO_AXIS),
                 jax.lax.psum(jnp.sum(res.infeasible), meshlib.SCENARIO_AXIS))
 
+    n_in = 2 + (1 if cv_arrays is not None else 0)
     jstep = jax.jit(shard_map(
         device_step, mesh=mesh,
-        in_specs=(P(), P()),
+        in_specs=(P(),) * n_in,
         out_specs=(accumulators.MOMENTS_OUT_SPECS, P(), P()),
         check_vma=False,
     ))
-    step = lambda key: jstep(key, sys)
-    step.jstep, step.extra_args = jstep, (sys,)
+    extra = (sys,) if cv_arrays is None else (sys, gen_cap_mw)
+    step = lambda key: jstep(key, *extra)
+    step.jstep, step.extra_args = jstep, extra
     return step
 
 
@@ -120,24 +144,54 @@ def run_nsq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
                   checkpointer: Checkpointer | None = None,
                   checkpoint_every: int = 50,
                   log_every: int = 10,
-                  max_lp: int | None = None) -> NSQResult:
+                  max_lp: int | None = None,
+                  control_variate: bool = False) -> NSQResult:
     """``max_lp``: initial LP-lane buffer per device batch (None = the
     step's default); on overflow it doubles and the batch is redone with
     the same keys, so the estimate is invariant to the initial size
-    (tests/test_parallel.py::test_nsq_adaptive_lp_buffer_redo_exact)."""
+    (tests/test_parallel.py::test_nsq_adaptive_lp_buffer_redo_exact).
+
+    ``control_variate=True`` subtracts each state's copper-sheet deficit
+    and adds back its EXACT expectation from a float64 COPT at the peak
+    load (copt.copper_cv_means): EDNS_cv = mu_C + mean(DNS - C). NSQ
+    states are iid Bernoulli(U) — exactly the COPT's stationary law — so
+    no sampling change is needed, and the adjustment composes with both
+    antithetic pairing and importance sampling (E_q[w C] = mu_C). The
+    network-free copper deficit explains most DNS variance, so beta
+    collapses; the reference's plain-MC loop (nsqMain.m:60-61) has no
+    counterpart."""
     sys = build_system(case, compat)
     mesh = mesh or meshlib.scenario_mesh()
     meshlib.warmup_backend()
     n_dev = mesh.devices.size
     bpd = max(cfg.batch_size // n_dev, 1)
 
+    cv_arrays = None
+    if control_variate:
+        from powersystemsreliabilityassessment_tpu.engines import copt
+        from powersystemsreliabilityassessment_tpu.models import twostate
+        gen_cap_mw = np.asarray(case.gen_pmax, np.float32)
+        total_load_mw = np.float32(np.sum(np.asarray(case.bus_pd,
+                                                     np.float64)))
+        mu_e, mu_l, _, _ = copt.copper_cv_means(
+            gen_cap_mw.astype(np.float64),
+            twostate.unavailability(case)[:case.n_gen],
+            np.asarray([total_load_mw], np.float64),
+            thresh_mw=compat.nsq_fail_flag_threshold_mw)
+        cv_arrays = (gen_cap_mw, total_load_mw, mu_e, mu_l)
+        if log_every:
+            print(f"control variate: mu_EDNS {mu_e:.4f} MW, "
+                  f"mu_PLC {mu_l:.6f} (exact f64 COPT)")
+
     step = make_nsq_batch_step(sys, mesh, bpd, compat, ipm, max_lp=max_lp,
                                antithetic=cfg.antithetic,
                                nodal_mode=cfg.nodal_mode,
-                               is_boost=cfg.is_boost)
+                               is_boost=cfg.is_boost, cv_arrays=cv_arrays)
     root = jax.random.key(cfg.seed)
 
     stats = accumulators.RunningStats()
+    if cv_arrays is not None:
+        stats.mu_dns, stats.mu_flag = float(mu_e), float(mu_l)
     histories = {"beta": [], "edns": [], "lole": [], "plc": []}
     batch_idx, overflow, infeasible = 0, 0, 0
 
@@ -172,7 +226,7 @@ def run_nsq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
                 step = make_nsq_batch_step(
                     sys, mesh, bpd, compat, ipm, max_lp=max_lp,
                     antithetic=cfg.antithetic, nodal_mode=cfg.nodal_mode,
-                    is_boost=cfg.is_boost)
+                    is_boost=cfg.is_boost, cv_arrays=cv_arrays)
                 return True
             overflow += int(n_over)  # buffer already at batch size
         infeasible += int(n_infeas)

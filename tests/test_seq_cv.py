@@ -136,3 +136,55 @@ def test_cv_rejects_maintenance():
             cases.rts24(), MCSConfig(max_years=2, cov_threshold=0.0),
             control_variate=True, scheduled_maintenance=True,
             years_per_device=1, hours=48, log_every=0)
+
+
+# ---- NSQ copper control variate (studies/hl2_nsq.py) --------------------
+
+def _nsq_copper_mu():
+    case = cases.rts24()
+    compat = CompatFlags()
+    total = np.float32(np.sum(np.asarray(case.bus_pd, np.float64)))
+    mu_e, mu_l, _, _ = copt.copper_cv_means(
+        np.asarray(case.gen_pmax, np.float64),
+        twostate.unavailability(case)[:case.n_gen],
+        np.asarray([total], np.float64),
+        thresh_mw=compat.nsq_fail_flag_threshold_mw)
+    return mu_e, mu_l
+
+
+def test_nsq_cv_unbiased_and_tighter():
+    from powersystemsreliabilityassessment_tpu.studies.hl2_nsq import (
+        run_nsq_study)
+    case = cases.rts24()
+    cfg = MCSConfig(batch_size=256, max_samples=1024, beta_limit=0.0,
+                    seed=7)
+    plain = run_nsq_study(case, cfg, log_every=0)
+    cv = run_nsq_study(case, cfg, log_every=0, control_variate=True)
+    assert plain.samples == cv.samples == 1024
+    mu_e, mu_l = _nsq_copper_mu()
+    # beta tracks the CV estimator's CoV: must contract hard (copper
+    # explains ~97% of DNS variance at RTS-24 peak load).
+    assert cv.beta < 0.5 * plain.beta, (cv.beta, plain.beta)
+    # Anchored unbiasedness: E[DNS] >= mu_C (network only adds shed) and
+    # the network's extra shed at RTS-24 is ~2.5% (PARITY.md).
+    sig = cv.beta * cv.edns_mw
+    assert mu_e - 5 * sig < cv.edns_mw < 1.25 * mu_e + 5 * sig
+    # PLC is adjusted too; its exact copper mean is the anchor.
+    assert abs(cv.plc - mu_l) < 0.5 * mu_l + 0.02
+    # Raw-value accumulators (nodal, weak points) are untouched.
+    np.testing.assert_allclose(cv.nodal_eens_mwh_yr,
+                               plain.nodal_eens_mwh_yr, rtol=1e-6)
+
+
+def test_nsq_cv_composes_with_importance_sampling():
+    from powersystemsreliabilityassessment_tpu.studies.hl2_nsq import (
+        run_nsq_study)
+    case = cases.rts24()
+    cfg = MCSConfig(batch_size=256, max_samples=1024, beta_limit=0.0,
+                    seed=11, is_boost=2.0)
+    cv = run_nsq_study(case, cfg, log_every=0, control_variate=True)
+    mu_e, _ = _nsq_copper_mu()
+    sig = max(cv.beta, 0.01) * cv.edns_mw
+    # E_q[w C] = mu_C exactly, so the IS+CV estimate stays anchored.
+    assert mu_e - 6 * sig < cv.edns_mw < 1.3 * mu_e + 6 * sig, (
+        cv.edns_mw, mu_e, sig)
