@@ -306,11 +306,11 @@ def solve_box_lp_batched(c, A, b, l, u,
         zu = jnp.where(keep, zu, zun)
         return (x, y, zl, zu, done, best_score, best_x)
 
-    def one_pass(x_init) -> LPBatchSolution:
+    def one_pass(x_init, iters: int | None = None) -> LPBatchSolution:
         state = (x_init, y0, z0, z0, jnp.zeros_like(b[:, 0], dtype=bool),
                  jnp.full_like(b[:, 0], jnp.inf), x_init)
         x, y, zl, zu, _, best_score, best_x = jax.lax.fori_loop(
-            0, cfg.iterations, body, state)
+            0, iters or cfg.iterations, body, state)
         return polish_box_lp(
             (x, y, zl, zu, best_score, best_x), c, b, l, u, cfg,
             mv_fn=lambda v: mv(A, v),
@@ -331,6 +331,11 @@ def solve_box_lp_batched(c, A, b, l, u,
                   else (1 if m > _BLOCKED_MAX_M else 0))
     for _ in range(n_restarts):
         prev = sol
+        # Full-length restart pass: a half-length (8-iter) pass matched
+        # 16 on CPU but LOST three deep lanes on real TPU (guard-tripped
+        # 1 -> 4, a 57.6 MW shed degraded to its zero copper bound) —
+        # TPU f32 accumulation orders differ enough that stalled lanes
+        # need the full budget. Keep iterations symmetric.
         sol = one_pass(jnp.clip(sol.x, l + 0.02 * width, u - 0.02 * width))
         pen = lambda s: (s.objective
                          + 1e4 * jnp.maximum(s.primal_residual - 3e-4, 0.0))

@@ -212,7 +212,14 @@ class AnnualStats:
         n = self.years
         if n < 2 or self.eens <= 0:
             return float("inf")
-        return float(np.std(self.ens, ddof=1) / (self.eens * np.sqrt(n)))
+        s = np.std(self.ens, ddof=1)
+        if s == 0.0:
+            # Zero observed variance with a positive mean happens under
+            # the control variate when no sampled year has shed yet
+            # (every adjusted value equals mu_C exactly): convergence
+            # cannot be assessed, so never report cov 0 and stop early.
+            return float("inf")
+        return float(s / (self.eens * np.sqrt(n)))
 
     def nodal_eens(self) -> np.ndarray:
         return self.sum_nodal / max(self.years, 1)

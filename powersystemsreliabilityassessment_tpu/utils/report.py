@@ -276,11 +276,33 @@ def plot_parameter_estimation(est, out_path: str) -> None:
     plt.close(fig)
 
 
+def export_mat(path: str, result_dict: dict) -> None:
+    """MATLAB .mat export of a study result (scipy.io.savemat).
+
+    The reference persists its artifacts as .mat files
+    (``nsqMain.m:404-405``, ``seqMain.m:261-262``:
+    ``save('reliability_results.mat', ...)``), so users migrating
+    pipelines that post-process those files can point them here. Scalar
+    indices and history/nodal vectors become MATLAB doubles; ``None``
+    and empty lists are dropped (savemat cannot represent them).
+    """
+    from scipy.io import savemat
+    clean = {}
+    for k, v in result_dict.items():
+        if v is None or (isinstance(v, (list, tuple)) and len(v) == 0):
+            continue
+        clean[k] = np.asarray(v, dtype=np.float64) \
+            if not np.isscalar(v) else float(v)
+    savemat(path, clean)
+
+
 def export_study(result, out_dir: str, prefix: str,
                  make_plots: bool = True, **plot_kw) -> None:
-    """CSV + JSON (+ figures) for an NSQ/SEQ result object."""
+    """CSV + JSON + .mat (+ figures) for an NSQ/SEQ result object."""
     os.makedirs(out_dir, exist_ok=True)
     export_nodal_csv(os.path.join(out_dir, f"{prefix}_nodal_results.csv"),
                      result.nodal_eens_mwh_yr)
     export_json(os.path.join(out_dir, f"{prefix}_results.json"),
                 result.to_dict())
+    export_mat(os.path.join(out_dir, f"{prefix}_reliability_results.mat"),
+               result.to_dict())

@@ -62,3 +62,21 @@ def test_report_helpers(tmp_path):
     lines = path.read_text().strip().splitlines()
     assert lines[0] == "BusID,EENS_MWh_yr"
     assert lines[1].startswith("1,")
+
+
+def test_export_mat_roundtrip(tmp_path):
+    from scipy.io import loadmat
+    d = {"edns_mw": 1.25, "samples": 1024, "converged": True,
+         "beta_history": [0.5, 0.2, 0.1],
+         "nodal_eens_mwh_yr": [1.0, 2.0, 3.0],
+         "none_field": None, "empty": []}
+    path = str(tmp_path / "res.mat")
+    report.export_mat(path, d)
+    back = loadmat(path)
+    assert float(back["edns_mw"]) == 1.25
+    assert float(back["samples"]) == 1024.0
+    np.testing.assert_allclose(back["beta_history"].ravel(),
+                               [0.5, 0.2, 0.1])
+    np.testing.assert_allclose(back["nodal_eens_mwh_yr"].ravel(),
+                               [1.0, 2.0, 3.0])
+    assert "none_field" not in back and "empty" not in back
