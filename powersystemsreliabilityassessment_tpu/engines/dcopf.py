@@ -429,6 +429,49 @@ def overgen_infeasible(sys: System, comp_down: jax.Array,
     return pmin_committed > jnp.sum(load_pu, axis=1) + 1e-9
 
 
+def baseline_report(sys: System) -> dict:
+    """Intact-system sanity check before an MC study starts.
+
+    The reference runs a full ``runopf`` on the intact network and prints
+    its success before the loop (nsqMain.m:188-198). A jitted 1-lane OPF
+    would cost a fresh multi-minute relay compile here, so this is the
+    host-side float64 analog: capacity margin vs peak load, plus the max
+    intact-network line loading of the proportional (copper) dispatch
+    through the PTDF. A congested proportional dispatch is only a
+    warning (the OPF can redispatch); capacity below peak load means the
+    system sheds even fully intact and is flagged.
+    """
+    cap = np.asarray(sys.gen_pmax, np.float64)
+    load = np.asarray(sys.load_pd, np.float64)
+    ptdf = np.asarray(sys.ptdf, np.float64)
+    cg = np.asarray(sys.gen_bus_onehot, np.float64)
+    cd = np.asarray(sys.load_onehot, np.float64)
+    rate = np.asarray(sys.br_rate, np.float64)
+    total_cap, total_load = cap.sum(), load.sum()
+    disp = cap * (total_load / max(total_cap, 1e-12))
+    inj = cg @ disp - cd @ load
+    loading = np.abs(ptdf @ inj) / np.maximum(rate, 1e-12)
+    base = float(sys.base_mva)
+    return {
+        "capacity_mw": total_cap * base,
+        "peak_load_mw": total_load * base,
+        "margin_mw": (total_cap - total_load) * base,
+        "max_line_loading": float(loading.max()),
+        "capacity_feasible": bool(total_cap >= total_load),
+    }
+
+
+def print_baseline(sys: System) -> dict:
+    r = baseline_report(sys)
+    status = ("ok" if r["capacity_feasible"]
+              else "INFEASIBLE (sheds even intact)")
+    print(f"baseline: intact capacity {r['capacity_mw']:.0f} MW vs peak "
+          f"{r['peak_load_mw']:.0f} MW (margin {r['margin_mw']:.0f} MW, "
+          f"{status}); proportional-dispatch max line loading "
+          f"{100 * r['max_line_loading']:.0f}%")
+    return r
+
+
 def _solve_one(sys: System, comp_down: jax.Array, load_pu: jax.Array,
                compat: CompatFlags, ipm: IPMConfig):
     ng, nd, nl = sys.n_gen, sys.n_load, sys.n_branch

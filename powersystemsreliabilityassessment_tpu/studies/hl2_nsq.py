@@ -161,6 +161,10 @@ def run_nsq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
     collapses; the reference's plain-MC loop (nsqMain.m:60-61) has no
     counterpart."""
     sys = build_system(case, compat)
+    if log_every:
+        # Intact-system sanity line (the reference's pre-loop runopf,
+        # nsqMain.m:188-198 — host-side f64 analog, no compile cost).
+        dcopf.print_baseline(sys)
     mesh = mesh or meshlib.scenario_mesh()
     meshlib.warmup_backend()
     n_dev = mesh.devices.size

@@ -251,6 +251,10 @@ def run_seq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
     stationary = sampling == "stationary"
 
     sys = build_system(case, compat)
+    if log_every:
+        # Intact-system sanity line (the reference's pre-loop runopf,
+        # nsqMain.m:188-198 — host-side f64 analog, no compile cost).
+        dcopf.print_baseline(sys)
     mesh = mesh or meshlib.scenario_mesh()
     meshlib.warmup_backend()
     hours = hours or compat.hours_per_year_seq

@@ -283,3 +283,13 @@ def test_pair_outage_certificate_flows_exact(sys24):
         ptdf2[:, 1:] = (b2[:, None] * inc2[:, 1:]) @ la.inv(bbus[1:, 1:])
         f2 = ptdf2 @ inj
         np.testing.assert_allclose(post[keep], f2, atol=1e-6)
+
+
+def test_baseline_report_intact_system():
+    from powersystemsreliabilityassessment_tpu.engines import dcopf as d
+    sys_ = build_system(cases.rts24())
+    r = d.baseline_report(sys_)
+    assert r["capacity_feasible"]
+    assert abs(r["capacity_mw"] - 3405.0) < 1.0
+    assert abs(r["peak_load_mw"] - 2850.0) < 1.0
+    assert 0.0 < r["max_line_loading"] < 1.0  # RTS-24 intact is uncongested
