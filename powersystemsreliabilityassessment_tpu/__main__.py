@@ -20,7 +20,8 @@ def main() -> None:
     sub = p.add_subparsers(dest="study", required=True)
 
     nsq = sub.add_parser("nsq")
-    nsq.add_argument("--case", default="rts24")
+    nsq.add_argument("--case", default="rts24",
+                     help="builtin case name or MATPOWER .m path")
     nsq.add_argument("--samples", type=int, default=100_000)
     nsq.add_argument("--batch", type=int, default=8192)
     nsq.add_argument("--beta", type=float, default=0.0017)
@@ -38,7 +39,8 @@ def main() -> None:
                           "antithetic; studies/hl2_nsq.py)")
 
     seq = sub.add_parser("seq")
-    seq.add_argument("--case", default="rts24")
+    seq.add_argument("--case", default="rts24",
+                     help="builtin case name or MATPOWER .m path")
     seq.add_argument("--years", type=int, default=4000)
     seq.add_argument("--cov", type=float, default=0.05)
     seq.add_argument("--seed", type=int, default=0)
@@ -104,14 +106,15 @@ def main() -> None:
     args = p.parse_args()
 
     if args.study == "nsq":
-        from powersystemsreliabilityassessment_tpu.core import cases
+        from powersystemsreliabilityassessment_tpu.core.matpower_io import (
+            resolve_case)
         from powersystemsreliabilityassessment_tpu.runtime.checkpoint import (
             Checkpointer, OrbaxCheckpointer)
         from powersystemsreliabilityassessment_tpu.studies.hl2_nsq import (
             run_nsq_study)
         from powersystemsreliabilityassessment_tpu.utils import report
         from powersystemsreliabilityassessment_tpu.utils.config import MCSConfig
-        case = getattr(cases, args.case)()
+        case = resolve_case(args.case)
         cls = (OrbaxCheckpointer if args.checkpoint_backend == "orbax"
                else Checkpointer)
         ck = cls(args.checkpoint) if args.checkpoint else None
@@ -128,18 +131,25 @@ def main() -> None:
         print(json.dumps({"edns": res.edns_mw, "lole": res.lole_hr_yr,
                           "plc": res.plc, "beta": res.beta}))
     elif args.study == "seq":
-        from powersystemsreliabilityassessment_tpu.core import cases
+        from powersystemsreliabilityassessment_tpu.core.matpower_io import (
+            resolve_case)
         from powersystemsreliabilityassessment_tpu.runtime.checkpoint import (
             Checkpointer, OrbaxCheckpointer)
         from powersystemsreliabilityassessment_tpu.studies.hl2_seq import (
             run_seq_study)
         from powersystemsreliabilityassessment_tpu.utils import report
         from powersystemsreliabilityassessment_tpu.utils.config import MCSConfig
-        case = getattr(cases, args.case)()
+        case = resolve_case(args.case)
         cls = (OrbaxCheckpointer if args.checkpoint_backend == "orbax"
                else Checkpointer)
         ck = cls(args.checkpoint) if args.checkpoint else None
         if args.split_level is not None:
+            if args.control_variate or args.sampling != "reference":
+                p.error("--split-level cannot be combined with "
+                        "--control-variate/--sampling (the split study "
+                        "uses its own continuous-dwell sampler; "
+                        "silently ignoring the flags would misreport "
+                        "the estimator in use)")
             from powersystemsreliabilityassessment_tpu.studies.hl2_seq_split import (
                 SplitConfig, run_seq_split_study)
             res = run_seq_split_study(
