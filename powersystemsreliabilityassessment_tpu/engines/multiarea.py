@@ -217,16 +217,22 @@ def make_multiarea_batch_step(sys: MultiAreaSystem, mesh,
     caps, mttf, mttr = _padded_fleet(sys)
     n_draws = chronological.default_num_draws(
         mttf.reshape(-1), mttr.reshape(-1), H)
-    caps_d = jnp.asarray(caps.reshape(-1))                 # [A*G]
-    mttf_d = jnp.asarray(mttf.reshape(-1), jnp.float32)
-    mttr_d = jnp.asarray(mttr.reshape(-1), jnp.float32)
-    load_d = jnp.asarray(sys.hourly_load, jnp.float32)     # [A, H]
-    tf = jnp.asarray(sys.tie_from, jnp.int32)
-    tt = jnp.asarray(sys.tie_to, jnp.int32)
-    tc = jnp.asarray(sys.tie_cap, jnp.float32)
     gmax = caps.shape[1]
+    # Device data enters the jitted step as ARGUMENTS, never closure
+    # constants — captured device arrays execute all-constant expressions
+    # eagerly at trace time (one pooled-relay dispatch each) and are
+    # fetched back to host one blocking transfer at a time at MLIR
+    # lowering (the round-1 SEQ cold-start root cause; see
+    # make_seq_batch_step).
+    arrs = (jnp.asarray(caps.reshape(-1)),                  # [A*G]
+            jnp.asarray(mttf.reshape(-1), jnp.float32),
+            jnp.asarray(mttr.reshape(-1), jnp.float32),
+            jnp.asarray(sys.hourly_load, jnp.float32),      # [A, H]
+            jnp.asarray(sys.tie_from, jnp.int32),
+            jnp.asarray(sys.tie_to, jnp.int32),
+            jnp.asarray(sys.tie_cap, jnp.float32))
 
-    def device_step(key):
+    def device_step(key, caps_d, mttf_d, mttr_d, load_d, tf, tt, tc):
         dev = jax.lax.axis_index(meshlib.SCENARIO_AXIS)
         keys = jax.random.split(jax.random.fold_in(key, dev),
                                 years_per_device)
@@ -244,9 +250,10 @@ def make_multiarea_batch_step(sys: MultiAreaSystem, mesh,
         ps = lambda a: jax.lax.psum(a, meshlib.SCENARIO_AXIS)
         return ps(loss_h), ps(eue_s)
 
-    return jax.jit(shard_map(
-        device_step, mesh=mesh, in_specs=P(), out_specs=(P(), P()),
+    jstep = jax.jit(shard_map(
+        device_step, mesh=mesh, in_specs=(P(),) * 8, out_specs=(P(), P()),
         check_vma=False))
+    return lambda key: jstep(key, *arrs)
 
 
 def run_multiarea_sequential(sys: MultiAreaSystem, policy: str,

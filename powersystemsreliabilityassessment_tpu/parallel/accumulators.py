@@ -32,6 +32,12 @@ class BatchMoments(NamedTuple):
     sum_flag: jax.Array     # scalar count of failure states
     sum_nodal: jax.Array    # [nb] sum of nodal shed (MW)
     sum_comp_fail: jax.Array  # [n_comp] sum of comp-down over failure states
+    # Raw (weighted, un-adjusted) failure count: the denominator of the
+    # component-importance ratio. Equals sum_flag except in control-
+    # variate mode, where sum_flag holds residuals (whose sum is the
+    # near-zero count of network-only failures — dividing the raw
+    # numerator by it would blow the conditional probabilities sky-high).
+    sum_flag_raw: jax.Array
 
 
 def batch_moments(dns_mw, nodal_mw, failure, comp_down,
@@ -76,6 +82,7 @@ def batch_moments(dns_mw, nodal_mw, failure, comp_down,
         sum_flag=jnp.sum(vf),
         sum_nodal=jnp.sum(nodal_mw, axis=0),
         sum_comp_fail=f @ comp_down.astype(dns_mw.dtype),
+        sum_flag_raw=jnp.sum(f),
     )
 
 
@@ -86,7 +93,7 @@ def psum_moments(m: BatchMoments) -> BatchMoments:
 
 MOMENTS_OUT_SPECS = BatchMoments(
     n=P(), sum_dns=P(), sum_dns_sq=P(), sum_flag=P(),
-    sum_nodal=P(), sum_comp_fail=P())
+    sum_nodal=P(), sum_comp_fail=P(), sum_flag_raw=P())
 
 
 @dataclasses.dataclass
@@ -107,6 +114,7 @@ class RunningStats:
     sum_comp_fail: np.ndarray | None = None
     mu_dns: float = 0.0
     mu_flag: float = 0.0
+    sum_flag_raw: float = 0.0
 
     def update(self, m: BatchMoments) -> None:
         m = jax.tree.map(lambda a: np.asarray(a, np.float64), m)
@@ -114,6 +122,7 @@ class RunningStats:
         self.sum_dns += float(m.sum_dns)
         self.sum_dns_sq += float(m.sum_dns_sq)
         self.sum_flag += float(m.sum_flag)
+        self.sum_flag_raw += float(m.sum_flag_raw)
         self.sum_nodal = (m.sum_nodal if self.sum_nodal is None
                           else self.sum_nodal + m.sum_nodal)
         self.sum_comp_fail = (m.sum_comp_fail if self.sum_comp_fail is None
@@ -157,10 +166,17 @@ class RunningStats:
         return self.sum_nodal / max(self.n, 1.0) * hours_per_year
 
     def component_importance(self) -> np.ndarray:
-        """P(component down | system failure) (nsqMain.m:360-376)."""
-        if self.sum_comp_fail is None or self.sum_flag == 0:
+        """P(component down | system failure) (nsqMain.m:360-376).
+
+        Uses the RAW failure count: under the control variate
+        ``sum_flag`` holds residuals whose sum is near zero, not the
+        failure count. (``sum_flag_raw`` falls back to ``sum_flag`` for
+        checkpoints written before the field existed — they predate CV
+        mode, where the two are equal.)"""
+        denom = self.sum_flag_raw or self.sum_flag
+        if self.sum_comp_fail is None or denom == 0:
             return np.zeros(0)
-        return self.sum_comp_fail / self.sum_flag
+        return self.sum_comp_fail / denom
 
     def state(self) -> dict:
         return dataclasses.asdict(self)

@@ -169,6 +169,13 @@ def run_nsq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
     meshlib.warmup_backend()
     n_dev = mesh.devices.size
     bpd = max(cfg.batch_size // n_dev, 1)
+    if max_lp is None:
+        # Resolve the step's default HERE so consume()'s doubling always
+        # grows from the buffer actually in use (with is_boost > 1 the
+        # step defaults to bpd//2; growing from an assumed bpd//4 would
+        # rebuild an identical step and waste a full redo + compile).
+        frac = 4 if cfg.is_boost <= 1.0 else 2
+        max_lp = max(bpd // frac, 16)
 
     cv_arrays = None
     if control_variate:
@@ -222,7 +229,7 @@ def run_nsq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
         if int(n_over) > 0:
             # Adaptive LP buffer: grow and REDO (keys are deterministic,
             # so the redo is exact, not a resample).
-            grown = 2 * (max_lp or max(bpd // 4, 16))
+            grown = 2 * max_lp  # resolved to the step's actual buffer above
             if grown <= bpd:
                 max_lp = grown
                 print(f"LP buffer overflow ({int(n_over)}); growing "
@@ -269,8 +276,14 @@ def run_nsq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
         pending = (batch_idx, out)
         batch_idx += 1
 
-    if pending is not None:
-        consume(pending[1])
+    # Drain the in-flight batch; if IT overflows, redo it too (dropping
+    # it would lose its samples and break the grow-and-redo exactness).
+    while pending is not None:
+        if consume(pending[1]):
+            pending = (pending[0],
+                       step(jax.random.fold_in(root, pending[0])))
+        else:
+            pending = None
 
     return NSQResult(
         edns_mw=stats.edns,

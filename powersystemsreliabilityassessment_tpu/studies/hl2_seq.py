@@ -394,8 +394,14 @@ def run_seq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
         pending = (batch_idx, out)
         batch_idx += 1
 
-    if pending is not None:
-        consume(pending[1])
+    # Drain the in-flight batch; if IT overflows, redo it too (dropping
+    # it would lose its years and break the grow-and-redo exactness).
+    while pending is not None:
+        if consume(pending[1]):
+            pending = (pending[0],
+                       step(jax.random.fold_in(root, pending[0])))
+        else:
+            pending = None
 
     return SEQResult(
         eens_mwh_yr=stats.eens,

@@ -81,15 +81,6 @@ def _pad_shift_table(v: np.ndarray) -> np.ndarray:
     return out
 
 
-def _year_indices(dns: jax.Array, flag_valid: jax.Array,
-                  down_h: jax.Array, thresh: float):
-    """Per-hour DNS [*, H] -> (ens, dlc, nlc, flag [*, H])."""
-    flag = (dns > thresh) & flag_valid
-    ens = jnp.sum(jnp.where(flag_valid, dns, 0.0), axis=-1)
-    dlc = jnp.sum(flag, axis=-1).astype(dns.dtype)
-    return ens, dlc, flag
-
-
 def calibrate_level(sys: System, factors: np.ndarray, hours: int,
                     n_draws: int, entry_target: float = 0.10,
                     pilot_years: int = 256, seed: int = 0) -> float:
@@ -123,7 +114,8 @@ def calibrate_level(sys: System, factors: np.ndarray, hours: int,
 def make_split_batch_step(sys: System, mesh, years_per_device: int,
                           compat: CompatFlags, ipm: IPMConfig,
                           hours: int, n_draws: int, max_lp: int,
-                          factors: np.ndarray, split: SplitConfig):
+                          factors: np.ndarray, split: SplitConfig,
+                          nodal_mode: str = "lp"):
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
 
@@ -141,7 +133,7 @@ def make_split_batch_step(sys: System, mesh, years_per_device: int,
         res, n_over = dcopf.evaluate_states_screened(
             sys, down_h.reshape(N * hours, -1),
             load_pu.reshape(N * hours, -1), max_lp * N, compat, ipm,
-            "lp")
+            nodal_mode)
         return (res.dns_mw.reshape(N, hours),
                 res.nodal_mw.reshape(N, hours, -1), n_over)
 
@@ -263,15 +255,31 @@ def make_split_batch_step(sys: System, mesh, years_per_device: int,
             jnp.take_along_axis(flag_p[pidx], tm1[:, None], axis=1)[:, 0],
             False)                                       # [S]
 
-        def tail_stats(dns_tail, nodal_tail, down_tail, vmask):
-            """Per-tail (ens, dlc, nlc_tail+boundary, nodal, comp)."""
+        def tail_stats(dns_tail, nodal_tail, down_tail, vmask,
+                       start_idx=None):
+            """Per-tail (ens, dlc, nlc_tail+boundary, nodal, comp).
+
+            ``start_idx``: position of the tail's FIRST hour within the
+            flag array — None for fresh clones (relative hours, position
+            0 = the split hour) and ``Tsel`` for the parent's own tail
+            (absolute hours). count_curtailment_events counts a rise at
+            that position (start edge, or masked-False -> True
+            transition) equal to the flag there; it is replaced by the
+            true boundary rise vs the pre-split hour. Anchoring at
+            position 0 for the parent tail would leave a curtailment
+            event straddling T double-counted (its rise is in nlc_pre
+            AND the tail's T-transition).
+            """
             flag = (dns_tail > thresh) & vmask
             ens = jnp.sum(jnp.where(vmask, dns_tail, 0.0), axis=-1)
             dlc = jnp.sum(flag, axis=-1).astype(dns_tail.dtype)
             rises = copper_sheet.count_curtailment_events(flag)
-            # count_curtailment_events adds flag[0]; replace that start
-            # edge with the true boundary rise vs the pre-split hour.
-            start = flag[..., 0]
+            if start_idx is None:
+                start = flag[..., 0]
+            else:
+                start = jnp.take_along_axis(
+                    flag, jnp.minimum(start_idx, hours - 1)[:, None],
+                    axis=1)[:, 0]
             nlc = (rises.astype(dns_tail.dtype)
                    - start.astype(dns_tail.dtype)
                    + (start & ~last_pre[:, None] if flag.ndim == 3
@@ -287,7 +295,7 @@ def make_split_batch_step(sys: System, mesh, years_per_device: int,
         tail_mask_p = ~pre_mask[pidx]                    # [S, H]
         pt = tail_stats(dns_p[pidx], nodal_p[pidx],
                         down_h[pidx] & tail_mask_p[:, :, None],
-                        tail_mask_p)
+                        tail_mask_p, start_idx=Tsel)
         # Fresh clones: relative hours, valid until year end.
         ct = tail_stats(
             dns_c, nodal_c,
@@ -372,7 +380,8 @@ def run_seq_split_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
         split = dataclasses.replace(split, level_mw=level)
 
     step = make_split_batch_step(sys, mesh, years_per_device, compat, ipm,
-                                 hours, n_draws, max_lp, factors, split)
+                                 hours, n_draws, max_lp, factors, split,
+                                 nodal_mode=cfg.nodal_mode)
     root = jax.random.key(cfg.seed)
     stats = AnnualStats()
     cov_history, eens_history = [], []
@@ -408,7 +417,7 @@ def run_seq_split_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
                   f"to {max_lp} and redoing batch")
             step = make_split_batch_step(
                 sys, mesh, years_per_device, compat, ipm, hours, n_draws,
-                max_lp, factors, split)
+                max_lp, factors, split, nodal_mode=cfg.nodal_mode)
             return True
         stats.update_years(ens, plc, nlc, dlc, edns, nodal, comp,
                            float(loss_h))
@@ -443,8 +452,14 @@ def run_seq_split_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
         pending = (batch_idx, out)
         batch_idx += 1
 
-    if pending is not None:
-        consume(pending[1])
+    # Drain the in-flight batch; if IT overflows, redo it too (dropping
+    # it would lose its years and break the grow-and-redo exactness).
+    while pending is not None:
+        if consume(pending[1]):
+            pending = (pending[0],
+                       step(jax.random.fold_in(root, pending[0])))
+        else:
+            pending = None
 
     return SEQResult(
         eens_mwh_yr=stats.eens,

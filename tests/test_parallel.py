@@ -52,7 +52,8 @@ def test_running_stats_indices():
     m = accumulators.BatchMoments(
         n=jnp.float32(4), sum_dns=jnp.float32(20.0),
         sum_dns_sq=jnp.float32(300.0), sum_flag=jnp.float32(2.0),
-        sum_nodal=jnp.ones(3), sum_comp_fail=jnp.ones(5))
+        sum_nodal=jnp.ones(3), sum_comp_fail=jnp.ones(5),
+        sum_flag_raw=jnp.float32(2.0))
     s.update(m)
     assert s.edns == 5.0
     assert s.plc == 0.5
@@ -80,7 +81,8 @@ class TestStudiesSmoke:
         s0.update(accumulators.BatchMoments(
             n=jnp.float32(4), sum_dns=jnp.float32(20.0),
             sum_dns_sq=jnp.float32(300.0), sum_flag=jnp.float32(2.0),
-            sum_nodal=jnp.arange(3.0), sum_comp_fail=jnp.arange(5.0)))
+            sum_nodal=jnp.arange(3.0), sum_comp_fail=jnp.arange(5.0),
+            sum_flag_raw=jnp.float32(2.0)))
         ck.save({"stats": s0.state(),
                  "histories": {"beta": [0.5], "edns": [5.0],
                                "lole": [], "plc": []},

@@ -158,3 +158,34 @@ def test_antithetic_from_state_distribution():
         frac.append(float(jnp.mean(tl[:, :33].astype(jnp.float32))))
     # same marginal law -> same expected down fraction (MC noise only)
     assert abs(frac[0] - frac[1]) < 0.01
+
+
+def test_split_k1_midyear_level_reduces_to_plain():
+    # K=1 with a level that triggers MID-YEAR entry (T > 0): pre-segment
+    # + the parent's own tail must reconstruct the plain full-year
+    # estimate exactly — in particular the LOLF boundary rise at the
+    # split hour must be anchored at T, not at absolute hour 0 (a
+    # curtailment event straddling T would otherwise be double-counted).
+    case = cases.rts24()
+    cfg = MCSConfig(max_years=16, cov_threshold=0.0, seed=2)
+    kw = dict(years_per_device=2, max_lp=64, hours=504, log_every=0)
+    kw["load_scale"] = 1.2
+    r_never = run_seq_split_study(
+        case, cfg, SplitConfig(level_mw=-1e9, k_clones=3, max_split=2),
+        **kw)
+    # Level -100 MW sits INSIDE deep-deficit events (shed starts near
+    # margin 0), so the split hour T lands mid-event: flag[T-1] and
+    # flag[T] are both set for 5 of the 16 parents at this seed — the
+    # straddle that the position-0 anchor double-counted (mutation-
+    # verified: reverting start_idx=Tsel fails this test).
+    r_k1 = run_seq_split_study(
+        case, cfg, SplitConfig(level_mw=-100.0, k_clones=1, max_split=4),
+        **kw)
+    assert r_k1.split_entered > 0  # the level actually triggered
+    assert r_k1.eens_mwh_yr == pytest.approx(r_never.eens_mwh_yr,
+                                             rel=1e-6)
+    assert r_k1.lole_hr_yr == pytest.approx(r_never.lole_hr_yr, rel=1e-9)
+    assert r_k1.lolf_occ_yr == pytest.approx(r_never.lolf_occ_yr,
+                                             rel=1e-9)
+    np.testing.assert_allclose(r_k1.nodal_eens_mwh_yr,
+                               r_never.nodal_eens_mwh_yr, rtol=1e-5)
