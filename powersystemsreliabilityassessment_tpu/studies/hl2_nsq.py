@@ -30,6 +30,7 @@ from powersystemsreliabilityassessment_tpu.core.system import System, build_syst
 from powersystemsreliabilityassessment_tpu.engines import dcopf
 from powersystemsreliabilityassessment_tpu.parallel import accumulators, mesh as meshlib
 from powersystemsreliabilityassessment_tpu.runtime.checkpoint import Checkpointer
+from powersystemsreliabilityassessment_tpu.runtime.host_loop import double_buffered_loop
 from powersystemsreliabilityassessment_tpu.utils.config import (
     CompatFlags, IPMConfig, MCSConfig)
 
@@ -215,14 +216,7 @@ def run_nsq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
             overflow = int(restored.get("overflow", 0))
             infeasible = int(restored.get("infeasible", 0))
 
-    # Double-buffered host loop: dispatch batch k+1 before synchronizing on
-    # batch k's (tiny) partial sums, hiding the host<->device round-trip
-    # behind device compute. The convergence check therefore lags one
-    # batch — at most one extra batch of work, which is consumed, not
-    # discarded.
-    pending = None  # (moments, n_over) futures of the in-flight batch
-
-    def consume(out) -> bool:
+    def consume(out, next_idx) -> bool:
         """Fold a finished batch into stats; True if a redo is needed."""
         nonlocal max_lp, step, overflow, infeasible
         moments, n_over, n_infeas = out
@@ -254,36 +248,18 @@ def run_nsq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
         if checkpointer is not None and n_batches % checkpoint_every == 0:
             checkpointer.save({"stats": stats.state(),
                                "histories": histories,
-                               "batch_idx": batch_idx,
+                               "batch_idx": next_idx,
                                "overflow": overflow,
                                "infeasible": infeasible})
         return False
 
     global_batch = bpd * n_dev
-    while (batch_idx * global_batch < cfg.max_samples
-           and stats.beta > cfg.beta_limit):
-        key = jax.random.fold_in(root, batch_idx)
-        out = step(key)
-        if pending is not None:
-            if consume(pending[1]):
-                # Redo both the pending batch and the just-dispatched one
-                # with the grown buffer.
-                out = step(jax.random.fold_in(root, pending[0]))
-                batch_idx = pending[0]
-                pending = (batch_idx, out)
-                batch_idx += 1
-                continue
-        pending = (batch_idx, out)
-        batch_idx += 1
-
-    # Drain the in-flight batch; if IT overflows, redo it too (dropping
-    # it would lose its samples and break the grow-and-redo exactness).
-    while pending is not None:
-        if consume(pending[1]):
-            pending = (pending[0],
-                       step(jax.random.fold_in(root, pending[0])))
-        else:
-            pending = None
+    double_buffered_loop(
+        dispatch=lambda i: step(jax.random.fold_in(root, i)),
+        consume=consume,
+        should_continue=lambda i: (i * global_batch < cfg.max_samples
+                                   and stats.beta > cfg.beta_limit),
+        start_idx=batch_idx)
 
     return NSQResult(
         edns_mw=stats.edns,

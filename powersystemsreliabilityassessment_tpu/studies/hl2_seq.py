@@ -34,6 +34,7 @@ from powersystemsreliabilityassessment_tpu.engines import copper_sheet, dcopf
 from powersystemsreliabilityassessment_tpu.models import twostate
 from powersystemsreliabilityassessment_tpu.parallel import mesh as meshlib
 from powersystemsreliabilityassessment_tpu.runtime.checkpoint import Checkpointer
+from powersystemsreliabilityassessment_tpu.runtime.host_loop import double_buffered_loop
 from powersystemsreliabilityassessment_tpu.sampling import chronological
 from powersystemsreliabilityassessment_tpu.utils.config import (
     CompatFlags, IPMConfig, MCSConfig)
@@ -332,12 +333,9 @@ def run_seq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
             overflow = int(restored.get("overflow", 0))
             infeasible = int(restored.get("infeasible", 0))
 
-    # Double-buffered host loop (see hl2_nsq.py): dispatch batch k+1 before
-    # synchronizing on batch k; convergence check lags one batch.
     years_per_batch = years_per_device * mesh.devices.size
-    pending = None
 
-    def consume(out) -> bool:
+    def consume(out, next_idx) -> bool:
         nonlocal max_lp, step, overflow, infeasible
         (ens, plc, nlc, dlc, edns, nodal, comp_fail, loss_h, n_over,
          n_infeas) = out[:10]
@@ -377,31 +375,16 @@ def run_seq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
                 "stats": dataclasses.asdict(stats),
                 "cov_history": cov_history,
                 "eens_history": eens_history,
-                "batch_idx": batch_idx, "overflow": overflow,
+                "batch_idx": next_idx, "overflow": overflow,
                 "infeasible": infeasible})
         return False
 
-    while (batch_idx * years_per_batch < cfg.max_years
-           and stats.cov > cfg.cov_threshold):
-        key = jax.random.fold_in(root, batch_idx)
-        out = step(key)
-        if pending is not None and consume(pending[1]):
-            out = step(jax.random.fold_in(root, pending[0]))
-            batch_idx = pending[0]
-            pending = (batch_idx, out)
-            batch_idx += 1
-            continue
-        pending = (batch_idx, out)
-        batch_idx += 1
-
-    # Drain the in-flight batch; if IT overflows, redo it too (dropping
-    # it would lose its years and break the grow-and-redo exactness).
-    while pending is not None:
-        if consume(pending[1]):
-            pending = (pending[0],
-                       step(jax.random.fold_in(root, pending[0])))
-        else:
-            pending = None
+    double_buffered_loop(
+        dispatch=lambda i: step(jax.random.fold_in(root, i)),
+        consume=consume,
+        should_continue=lambda i: (i * years_per_batch < cfg.max_years
+                                   and stats.cov > cfg.cov_threshold),
+        start_idx=batch_idx)
 
     return SEQResult(
         eens_mwh_yr=stats.eens,

@@ -44,6 +44,7 @@ from powersystemsreliabilityassessment_tpu.core.system import System, build_syst
 from powersystemsreliabilityassessment_tpu.engines import dcopf
 from powersystemsreliabilityassessment_tpu.models import twostate
 from powersystemsreliabilityassessment_tpu.parallel import mesh as meshlib
+from powersystemsreliabilityassessment_tpu.runtime.host_loop import double_buffered_loop
 from powersystemsreliabilityassessment_tpu.sampling import chronological
 from powersystemsreliabilityassessment_tpu.utils.config import (
     CompatFlags, IPMConfig, MCSConfig)
@@ -403,11 +404,7 @@ def run_seq_split_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
             split_overflow = int(restored.get("split_overflow", 0))
             entered_total = int(restored.get("entered_total", 0))
 
-    # Double-buffered host loop (see hl2_nsq.py): dispatch batch k+1
-    # before synchronizing on batch k; convergence check lags one batch.
-    pending = None
-
-    def consume(out) -> bool:
+    def consume(out, next_idx) -> bool:
         nonlocal max_lp, step, overflow, split_overflow, entered_total
         (ens, plc, nlc, dlc, edns, nodal, comp, loss_h, n_over,
          n_sover, n_entered) = out
@@ -435,31 +432,17 @@ def run_seq_split_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
                 "stats": dataclasses.asdict(stats),
                 "cov_history": cov_history,
                 "eens_history": eens_history,
-                "batch_idx": batch_idx, "overflow": overflow,
+                "batch_idx": next_idx, "overflow": overflow,
                 "split_overflow": split_overflow,
                 "entered_total": entered_total})
         return False
 
-    while (batch_idx * years_per_batch < cfg.max_years
-           and stats.cov > cfg.cov_threshold):
-        out = step(jax.random.fold_in(root, batch_idx))
-        if pending is not None and consume(pending[1]):
-            out = step(jax.random.fold_in(root, pending[0]))
-            batch_idx = pending[0]
-            pending = (batch_idx, out)
-            batch_idx += 1
-            continue
-        pending = (batch_idx, out)
-        batch_idx += 1
-
-    # Drain the in-flight batch; if IT overflows, redo it too (dropping
-    # it would lose its years and break the grow-and-redo exactness).
-    while pending is not None:
-        if consume(pending[1]):
-            pending = (pending[0],
-                       step(jax.random.fold_in(root, pending[0])))
-        else:
-            pending = None
+    double_buffered_loop(
+        dispatch=lambda i: step(jax.random.fold_in(root, i)),
+        consume=consume,
+        should_continue=lambda i: (i * years_per_batch < cfg.max_years
+                                   and stats.cov > cfg.cov_threshold),
+        start_idx=batch_idx)
 
     return SEQResult(
         eens_mwh_yr=stats.eens,
