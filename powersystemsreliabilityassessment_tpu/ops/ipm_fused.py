@@ -353,7 +353,8 @@ def _make_kernel(st_dims, cfg: IPMConfig, n_total: int,
         bs_out[0, 0:1, :] = jnp.full((1, LANES), jnp.inf, dt)
         bs_out[0, 1:2, :] = jnp.zeros((1, LANES), dt)    # done mask
 
-        def body(_, carry):
+        def body(carry):
+            i, _ = carry
             x = x_out[0]
             y = y_out[0]
             zl = zl_out[0]
@@ -426,15 +427,31 @@ def _make_kernel(st_dims, cfg: IPMConfig, n_total: int,
                       & jnp.all(jnp.isfinite(yn), axis=0, keepdims=True)
                       & jnp.all(jnp.isfinite(zln), axis=0, keepdims=True)
                       & jnp.all(jnp.isfinite(zun), axis=0, keepdims=True))
-            keep = jnp.maximum(done, 1.0 - finite.astype(dt)) > 0.5
-            bs_out[0, 1:2, :] = jnp.maximum(done, 1.0 - finite.astype(dt))
+            done_new = jnp.maximum(done, 1.0 - finite.astype(dt))
+            keep = done_new > 0.5
+            bs_out[0, 1:2, :] = done_new
             x_out[0] = jnp.where(keep, x, xn)
             y_out[0] = jnp.where(keep, y, yn)
             zl_out[0] = jnp.where(keep, zl, zln)
             zu_out[0] = jnp.where(keep, zu, zun)
-            return carry
+            # Whole-block early exit: a lane marked done is frozen (its
+            # state never changes again), so once every lane in this
+            # 128-lane block is done the remaining iterations are pure
+            # no-ops — stop paying for them. Exactly equivalent to the
+            # fixed-count loop (test_early_exit_keeps_hard_lane_among_easy
+            # pins the one-slow-lane hazard).
+            return i + 1, jnp.min(done_new) > 0.5
 
-        jax.lax.fori_loop(0, iters, body, 0)
+        if cfg.early_exit:
+            jax.lax.while_loop(
+                lambda c: jnp.logical_and(c[0] < iters,
+                                          jnp.logical_not(c[1])),
+                body, (jnp.int32(0), jnp.bool_(False)))
+        else:
+            def fixed_body(i, c):
+                body((i, c))   # runs for its ref side effects only
+                return c
+            jax.lax.fori_loop(0, iters, fixed_body, 0)
 
     return kernel
 

@@ -93,3 +93,10 @@ class IPMConfig:
     # for large m; lp_ipm_batched.solve_box_lp_batched). None = auto:
     # 1 when m exceeds the blocked-Cholesky range (case300 scale), else 0.
     restarts: int | None = None
+    # Fused-kernel whole-block early exit: stop iterating a 128-lane
+    # block once every lane is frozen (mu < mu_tol or non-finite) —
+    # exactly equivalent to the fixed-count loop, saves the tail
+    # iterations on easy blocks. Off by default until the while_loop
+    # form is validated against the real Mosaic compiler (the interpret-
+    # mode tests pass; see ops/ipm_fused.py).
+    early_exit: bool = False

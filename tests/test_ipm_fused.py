@@ -118,3 +118,32 @@ def test_fused_solver_matches_generic(setup):
     rp = jnp.einsum("bmn,bn->bm", A, sol.x) - b
     assert float(jnp.abs(rp).max()) < 2e-3
     assert bool(jnp.all(sol.x >= l - 1e-5)) and bool(jnp.all(sol.x <= u + 1e-5))
+
+
+def test_early_exit_keeps_hard_lane_among_easy(setup):
+    # Whole-block early exit (ops/ipm_fused.py while_loop) may only fire
+    # when EVERY lane is frozen. The hazard case is one slow lane among
+    # 127 instantly-converging ones: if the exit keyed on the majority,
+    # the hard lane would return its (bad) early iterate and miss the
+    # generic solver's objective by far more than the noise floor.
+    case, sys_, st, gu, bu, load = setup
+    ipm = IPMConfig(early_exit=True)
+    B = gu.shape[0]
+    gu_e = jnp.ones_like(gu)
+    bu_e = jnp.ones_like(bu)
+    # Lane 7: deep generation contingency (drop the 8 largest units).
+    order = np.argsort(-np.asarray(case.gen_pmax))
+    gu_e = gu_e.at[7, order[:8]].set(0.0)
+    c, A, b, l, u = jax.vmap(
+        lambda g, br, ld: dcopf.build_state_lp(sys_, g, br, ld, COMPAT,
+                                               ipm.theta_max))(
+        gu_e, bu_e, load)
+    ref = lp_ipm_batched.solve_box_lp_batched(c, A, b, l, u, ipm)
+    c2, b2, l2, u2, colscale = dcopf.build_state_lp_vectors(
+        sys_, gu_e, bu_e, load, COMPAT, ipm.theta_max)
+    sol = lp_ipm_structured.solve_box_lp_structured(
+        st, colscale, bu_e, c2, b2, l2, u2, ipm)
+    np.testing.assert_allclose(np.asarray(sol.objective),
+                               np.asarray(ref.objective), atol=1e-3)
+    # The hard lane actually sheds (the contingency is real).
+    assert float(sol.objective[7]) > 1.0
