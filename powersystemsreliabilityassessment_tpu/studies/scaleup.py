@@ -9,6 +9,7 @@ uniform draws — exact variance reduction for monotone state functions).
 from __future__ import annotations
 
 from powersystemsreliabilityassessment_tpu.core import cases
+from powersystemsreliabilityassessment_tpu.core.matpower_io import resolve_case
 from powersystemsreliabilityassessment_tpu.studies.hl2_nsq import (
     NSQResult, run_nsq_study)
 from powersystemsreliabilityassessment_tpu.utils.config import MCSConfig
@@ -17,7 +18,7 @@ from powersystemsreliabilityassessment_tpu.utils.config import MCSConfig
 def run(case_name: str = "rts96", samples: int = 50_000,
         batch_size: int = 4096, antithetic: bool = True,
         seed: int = 0) -> dict:
-    case = getattr(cases, case_name)()
+    case = resolve_case(case_name)   # builtin name or MATPOWER .m path
     res = run_nsq_study(
         case,
         MCSConfig(batch_size=batch_size, max_samples=samples,
