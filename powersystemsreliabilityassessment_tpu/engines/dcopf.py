@@ -649,10 +649,25 @@ def evaluate_states_screened(sys: System, comp_down: jax.Array,
     # cumsum+scatter, measured ~10x faster at SEQ batch sizes (139k lanes:
     # 0.05 s vs 0.53 s).
     B_pad = need_lp.shape[0]
-    score = need_lp.astype(jnp.int32) * (2 * B_pad) - np.arange(
-        B_pad, dtype=np.int32)
     k_eff = min(max_lp, B_pad)          # top_k requires k <= batch
-    _, idx = jax.lax.top_k(score, k_eff)
+    if ipm.early_exit:
+        # Order the needy lanes by descending tier-1 deficit so the
+        # fused kernel's 128-lane blocks are difficulty-homogeneous: its
+        # whole-block early exit fires only when EVERY lane in a block
+        # is frozen, and under lane-index order virtually every block
+        # holds at least one slow lane (a block of randomly-mixed lanes
+        # exits at the pace of its slowest). Order is invisible to the
+        # results — the scatter-back below restores lane positions and
+        # no cross-lane arithmetic happens inside the solver (pinned by
+        # test_screened_order_invariance).
+        score_f = jnp.where(
+            need_lp, 2.0 * B_pad + jnp.clip(pre.deficit, 0.0, B_pad),
+            -jnp.arange(B_pad, dtype=pre.deficit.dtype))
+        _, idx = jax.lax.top_k(score_f, k_eff)
+    else:
+        score = need_lp.astype(jnp.int32) * (2 * B_pad) - np.arange(
+            B_pad, dtype=np.int32)
+        _, idx = jax.lax.top_k(score, k_eff)
     if k_eff < max_lp:
         idx = jnp.concatenate(
             [idx, np.zeros((max_lp - k_eff,), np.int32)])

@@ -163,6 +163,31 @@ class TestDCOPF:
                                    np.asarray(full.dns_mw), atol=0.5)
         assert (np.asarray(scr.failure) == np.asarray(full.failure)).all()
 
+    def test_screened_order_invariance(self, sys24):
+        # early_exit also switches the LP-lane compaction to
+        # difficulty-descending order (dcopf.evaluate_states_screened);
+        # the scatter-back must make the ordering invisible: identical
+        # results lane-for-lane vs the default lane-index order.
+        import dataclasses as dc
+        rng = np.random.default_rng(9)
+        u = twostate.unavailability(cases.rts24())
+        B = 64
+        down = rng.uniform(size=(B, 71)) < 2 * u[None, :]
+        down[:, 14] = False
+        loads = _peak_loads(sys24, B)
+        base, _ = dcopf.evaluate_states_screened(
+            sys24, jnp.asarray(down), jnp.asarray(loads), B, COMPAT, IPM)
+        ordered, n_over = dcopf.evaluate_states_screened(
+            sys24, jnp.asarray(down), jnp.asarray(loads), B, COMPAT,
+            dc.replace(IPM, early_exit=True))
+        assert int(n_over) == 0
+        np.testing.assert_allclose(np.asarray(ordered.dns_mw),
+                                   np.asarray(base.dns_mw), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(ordered.nodal_mw),
+                                   np.asarray(base.nodal_mw), atol=1e-4)
+        assert (np.asarray(ordered.failure)
+                == np.asarray(base.failure)).all()
+
     def test_scaled_load_seq_style(self, sys24):
         # Half load, one U400 out: plenty of margin -> no shed.
         down = np.zeros((1, 71), bool)
