@@ -62,6 +62,30 @@ def test_running_stats_indices():
     assert s.beta == pytest.approx(np.sqrt(200.0) / 20.0)
 
 
+def test_component_importance_uses_raw_count_under_cv():
+    # Control-variate mode: sum_flag holds RESIDUALS (flag - copper
+    # indicator), whose total is ~0 — the conditional probability
+    # P(comp down | failure) must divide the comp⊗failure numerator by
+    # the raw failure count, not the residual sum.
+    s = accumulators.RunningStats(mu_dns=5.0, mu_flag=0.25)
+    s.update(accumulators.BatchMoments(
+        n=jnp.float32(8), sum_dns=jnp.float32(0.0),
+        sum_dns_sq=jnp.float32(0.0),
+        sum_flag=jnp.float32(0.0),          # residuals cancelled
+        sum_nodal=jnp.zeros(3),
+        sum_comp_fail=jnp.asarray([1.0, 2.0, 0.0, 4.0, 4.0]),
+        sum_flag_raw=jnp.float32(4.0)))     # 4 actual failure states
+    np.testing.assert_allclose(s.component_importance(),
+                               [0.25, 0.5, 0.0, 1.0, 1.0])
+    # PLC still reflects the CV-adjusted estimator (mu offset).
+    assert s.plc == pytest.approx(0.25)
+    # Legacy checkpoints (written before sum_flag_raw existed) predate
+    # CV mode: the fallback divides by sum_flag.
+    legacy = accumulators.RunningStats(
+        n=4.0, sum_flag=2.0, sum_comp_fail=np.asarray([1.0, 2.0]))
+    np.testing.assert_allclose(legacy.component_importance(), [0.5, 1.0])
+
+
 class TestStudiesSmoke:
     def test_nsq_deterministic_and_sane(self, tmp_path):
         cfg = MCSConfig(batch_size=128, max_samples=256, seed=9)
