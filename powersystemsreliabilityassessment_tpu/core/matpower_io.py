@@ -36,7 +36,7 @@ import re
 
 import numpy as np
 
-from .cases import CaseData, rts24
+from .cases import CaseData
 
 # MATPOWER column indices (matpower/lib/idx_bus.m etc., 0-based).
 _BUS_I, _BUS_PD, _BUS_QD, _BUS_BASEKV = 0, 2, 3, 9

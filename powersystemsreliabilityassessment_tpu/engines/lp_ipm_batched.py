@@ -15,7 +15,6 @@ RTS-24) and run through the same kernel:
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax

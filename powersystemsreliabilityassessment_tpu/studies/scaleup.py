@@ -11,7 +11,7 @@ from __future__ import annotations
 from powersystemsreliabilityassessment_tpu.core import cases
 from powersystemsreliabilityassessment_tpu.core.matpower_io import resolve_case
 from powersystemsreliabilityassessment_tpu.studies.hl2_nsq import (
-    NSQResult, run_nsq_study)
+    run_nsq_study)
 from powersystemsreliabilityassessment_tpu.utils.config import MCSConfig
 
 
