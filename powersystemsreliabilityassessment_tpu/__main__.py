@@ -70,6 +70,11 @@ def main() -> None:
                           "(continuous dwells, no January transient)")
     seq.add_argument("--split-max", type=int, default=8,
                      help="max split parents per device batch")
+    seq.add_argument("--maintenance", action="store_true",
+                     help="apply the levelized maintenance schedule "
+                          "derived from the genweeks data (reference "
+                          "case24_failrate.m col 4; incompatible with "
+                          "--control-variate and --split-level)")
 
     hl1 = sub.add_parser("hl1")
     hl1.add_argument("--iterations", type=int, default=5000)
@@ -150,6 +155,10 @@ def main() -> None:
                         "uses its own continuous-dwell sampler; "
                         "silently ignoring the flags would misreport "
                         "the estimator in use)")
+            if args.maintenance:
+                p.error("--split-level does not support --maintenance "
+                        "(cloning restarts assume time-homogeneous "
+                        "component processes)")
             from powersystemsreliabilityassessment_tpu.studies.hl2_seq_split import (
                 SplitConfig, run_seq_split_study)
             res = run_seq_split_study(
@@ -166,7 +175,8 @@ def main() -> None:
                 seed=args.seed),
                 years_per_device=args.years_per_device, checkpointer=ck,
                 sampling=args.sampling,
-                control_variate=args.control_variate)
+                control_variate=args.control_variate,
+                scheduled_maintenance=args.maintenance)
         report.export_study(res, args.out, "seq")
         report.plot_seq(res, f"{args.out}/convergence_curve.png", args.cov,
                         case.n_gen)
