@@ -183,6 +183,13 @@ class RunningStats:
 
     @classmethod
     def from_state(cls, d: dict) -> "RunningStats":
+        # JSON checkpoints round-trip the array fields as lists; convert
+        # here so index properties work even when a restored run
+        # converges before folding another batch (list / float raises).
+        d = dict(d)
+        for k in ("sum_nodal", "sum_comp_fail"):
+            if d.get(k) is not None:
+                d[k] = np.asarray(d[k], np.float64)
         return cls(**d)
 
 

@@ -86,6 +86,17 @@ def test_component_importance_uses_raw_count_under_cv():
     np.testing.assert_allclose(legacy.component_importance(), [0.5, 1.0])
 
 
+def test_running_stats_from_state_json_lists():
+    # JSON checkpoints hold the array fields as lists; a restored run
+    # that converges before folding another batch must still be able to
+    # compute its index properties.
+    r = accumulators.RunningStats.from_state({
+        "n": 4.0, "sum_dns": 0.0, "sum_dns_sq": 0.0, "sum_flag": 2.0,
+        "sum_nodal": [1.0, 2.0], "sum_comp_fail": [1.0, 2.0]})
+    np.testing.assert_allclose(r.nodal_eens(8760), [2190.0, 4380.0])
+    np.testing.assert_allclose(r.component_importance(), [0.5, 1.0])
+
+
 class TestStudiesSmoke:
     def test_nsq_deterministic_and_sane(self, tmp_path):
         cfg = MCSConfig(batch_size=128, max_samples=256, seed=9)
