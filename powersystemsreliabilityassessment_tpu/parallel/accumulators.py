@@ -251,3 +251,13 @@ class AnnualStats:
         if self.sum_comp_fail is None or self.total_loss_hours == 0:
             return np.zeros(0)
         return self.sum_comp_fail / self.total_loss_hours
+
+    @classmethod
+    def from_state(cls, d: dict) -> "AnnualStats":
+        # JSON checkpoints round-trip the array fields as lists (see
+        # RunningStats.from_state).
+        d = dict(d)
+        for k in ("sum_nodal", "sum_comp_fail"):
+            if d.get(k) is not None:
+                d[k] = np.asarray(d[k], np.float64)
+        return cls(**d)

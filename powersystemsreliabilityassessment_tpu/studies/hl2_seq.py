@@ -322,11 +322,7 @@ def run_seq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
     if checkpointer is not None:
         restored = checkpointer.restore()
         if restored is not None:
-            st = dict(restored["stats"])
-            for k in ("sum_nodal", "sum_comp_fail"):
-                if st.get(k) is not None:  # JSON round-trips arrays as lists
-                    st[k] = np.asarray(st[k], np.float64)
-            stats = AnnualStats(**st)
+            stats = AnnualStats.from_state(restored["stats"])
             cov_history = restored["cov_history"]
             eens_history = restored["eens_history"]
             batch_idx = int(restored["batch_idx"])
