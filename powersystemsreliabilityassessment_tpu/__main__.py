@@ -95,11 +95,15 @@ def main() -> None:
     ma = sub.add_parser("multiarea")
     ma.add_argument("--years", type=int, default=100)
     ma.add_argument("--system", default="demo",
-                    choices=["demo", "rts96", "ring"],
+                    choices=["demo", "rts96", "ring", "case"],
                     help="demo: reference 2-area; rts96: 3 areas from the "
-                         "network case; ring: N-area tiled ring")
+                         "network case; ring: N-area tiled ring; case: "
+                         "areas from --case's BUS_AREA column")
     ma.add_argument("--areas", type=int, default=4,
                     help="ring size (--system ring)")
+    ma.add_argument("--case", default="rts96",
+                    help="builtin case name or MATPOWER .m path "
+                         "(--system case)")
 
     sc = sub.add_parser("scaleup")
     sc.add_argument("--case", default="rts96")
@@ -232,6 +236,11 @@ def main() -> None:
             print(json.dumps(multiarea_demo.run_rts96_hl15(args.years)))
         elif args.system == "ring":
             multiarea_demo.run_nring_demo(args.areas, args.years)
+        elif args.system == "case":
+            from powersystemsreliabilityassessment_tpu.core.matpower_io import (
+                resolve_case)
+            print(json.dumps(multiarea_demo.run_case_hl15(
+                resolve_case(args.case), args.years)))
         else:
             multiarea_demo.run_demo(args.years)
     elif args.study == "scaleup":

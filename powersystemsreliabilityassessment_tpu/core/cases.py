@@ -53,6 +53,11 @@ class CaseData:
     br_rate: np.ndarray         # [nl] continuous rating, MW (MVA)
     br_lambda: np.ndarray       # [nl] permanent outage rate, occ/yr
     br_dur: np.ndarray          # [nl] outage duration, hours
+    # Optional per-bus area assignment (0-based contiguous), from the
+    # MATPOWER BUS_AREA column or a tiled construction; None when the
+    # case carries no area structure. Consumed by
+    # engines/multiarea.areas_from_case for the HL1.5 view.
+    bus_area: np.ndarray | None = None
 
     @property
     def n_bus(self) -> int:
@@ -243,6 +248,7 @@ def replicate_case(case: CaseData, n_areas: int, tie_rate: float = 500.0,
         base_mva=case.base_mva,
         bus_pd=bus_pd,
         bus_qd=bus_qd,
+        bus_area=np.repeat(np.arange(n_areas, dtype=np.int64), nb),
         gen_bus=gen_bus,
         gen_pmax=tile_f(case.gen_pmax),
         gen_pmin=tile_f(case.gen_pmin),
@@ -400,6 +406,7 @@ def rts96() -> CaseData:
         base_mva=base.base_mva,
         bus_pd=tile_f(base.bus_pd),
         bus_qd=tile_f(base.bus_qd),
+        bus_area=np.repeat(np.arange(areas, dtype=np.int64), nb),
         gen_bus=gen_bus,
         gen_pmax=tile_f(base.gen_pmax),
         gen_pmin=tile_f(base.gen_pmin),

@@ -39,7 +39,7 @@ import numpy as np
 from .cases import CaseData
 
 # MATPOWER column indices (matpower/lib/idx_bus.m etc., 0-based).
-_BUS_I, _BUS_PD, _BUS_QD, _BUS_BASEKV = 0, 2, 3, 9
+_BUS_I, _BUS_PD, _BUS_QD, _BUS_AREA, _BUS_BASEKV = 0, 2, 3, 6, 9
 _GEN_BUS, _GEN_STATUS, _GEN_PMAX, _GEN_PMIN = 0, 7, 8, 9
 _BR_F, _BR_T, _BR_X, _BR_RATEA, _BR_TAP, _BR_STATUS = 0, 1, 3, 5, 8, 10
 
@@ -212,11 +212,21 @@ def load_matpower_case(path: str, reliability=None,
                         bus[to_idx(br[:, _BR_T], "branch"), _BUS_BASEKV])
         lam, dur = _synthesize_branch_reliability(kv)
 
+    # BUS_AREA column -> 0-based contiguous area indices (np.unique order,
+    # i.e. ascending MATPOWER area number); None when single-area.
+    bus_area = None
+    if bus.shape[1] > _BUS_AREA:
+        _, inv = np.unique(bus[:, _BUS_AREA].astype(np.int64),
+                           return_inverse=True)
+        if inv.max() > 0:
+            bus_area = inv.astype(np.int64)
+
     return CaseData(
         name=name or os.path.splitext(os.path.basename(path))[0],
         base_mva=base,
         bus_pd=bus[:, _BUS_PD].astype(np.float64),
         bus_qd=bus[:, _BUS_QD].astype(np.float64),
+        bus_area=bus_area,
         gen_bus=to_idx(gen[:, _GEN_BUS], "gen"),
         gen_pmax=gen_pmax,
         gen_pmin=gen_pmin,
@@ -252,11 +262,13 @@ def save_matpower_case(case: CaseData, path: str,
              "powersystemsreliabilityassessment_tpu.core.matpower_io",
              "mpc.version = '2';",
              f"mpc.baseMVA = {case.base_mva:g};", "", "mpc.bus = ["]
+    area = (case.bus_area + 1 if case.bus_area is not None
+            else np.ones(nb, np.int64))                  # BUS_AREA col
     for i in range(nb):
         lines.append(
             f"\t{i + 1}\t{3 if i == 0 else 1}\t{case.bus_pd[i]:g}\t"
-            f"{case.bus_qd[i]:g}\t0\t0\t1\t1\t0\t{kv_bus[i]:g}\t1\t"
-            "1.05\t0.95;")
+            f"{case.bus_qd[i]:g}\t0\t0\t{int(area[i])}\t1\t0\t"
+            f"{kv_bus[i]:g}\t1\t1.05\t0.95;")
     lines += ["];", "", "mpc.gen = ["]
     for i in range(ng):
         lines.append(

@@ -47,28 +47,51 @@ def run_demo(n_years: int = 100, seed: int = 0, hours: int = 8760) -> dict:
     return results
 
 
+def case_system(case, hours: int = 8736) -> "multiarea.MultiAreaSystem":
+    """HL1.5 view of any :class:`CaseData` carrying a per-bus area
+    assignment (``bus_area`` — the MATPOWER BUS_AREA column for loaded
+    ``.m`` cases, or the tiled construction for rts96/replicate_case)."""
+    from powersystemsreliabilityassessment_tpu.core import load_profile
+
+    if case.bus_area is None:
+        raise ValueError(
+            f"case {case.name!r} carries no area structure (bus_area is "
+            "None / all buses share one MATPOWER area number) — the "
+            "multi-area HL1.5 view needs >= 2 areas")
+    return multiarea.areas_from_case(case, case.bus_area,
+                                     load_profile.load_factors(hours))
+
+
+def run_case_hl15(case, n_years: int = 50, seed: int = 0,
+                  hours: int = 8736) -> dict:
+    """ISOLATED vs INTERCONNECTED adequacy on any area-carrying case."""
+    sys = case_system(case, hours)
+    out = {}
+    for policy in (multiarea.ISOLATED, multiarea.INTERCONNECTED):
+        lole, eue = multiarea.run_multiarea_sequential(
+            sys, policy, n_years, seed=seed)
+        out[policy] = {"lole": lole.tolist(), "eue": eue.tolist()}
+    return out
+
+
 def rts96_three_area_system(hours: int = 8736) -> "multiarea.MultiAreaSystem":
     """HL1.5 view of RTS-96, derived directly from the network case: three
     RTS-24 areas with the five published inter-area ties (107-203 at
     175 MW plus 113-215/123-217/223-318/325-121 at 500 MW each, so A-B
     aggregates to 1175 MW of tie capability) and RTS-79 chronological
     loads per area."""
-    from powersystemsreliabilityassessment_tpu.core import cases, load_profile
+    from powersystemsreliabilityassessment_tpu.core import cases
 
-    case = cases.rts96()
-    return multiarea.areas_from_case(
-        case, np.arange(case.n_bus) // 24, load_profile.load_factors(hours))
+    return case_system(cases.rts96(), hours)
 
 
 def ring_system(n_areas: int, hours: int = 8736) -> "multiarea.MultiAreaSystem":
     """N-area ring built from the tiled RTS construction (two 500 MW ties
     between consecutive areas) — the >2-area generalization of the
     reference's two-area demo."""
-    from powersystemsreliabilityassessment_tpu.core import cases, load_profile
+    from powersystemsreliabilityassessment_tpu.core import cases
 
-    case = cases.replicate_case(cases.rts24(), n_areas)
-    return multiarea.areas_from_case(
-        case, np.arange(case.n_bus) // 24, load_profile.load_factors(hours))
+    return case_system(cases.replicate_case(cases.rts24(), n_areas), hours)
 
 
 def run_nring_demo(n_areas: int = 4, n_years: int = 50, seed: int = 0,

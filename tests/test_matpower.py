@@ -30,6 +30,39 @@ def test_roundtrip_rts24_exact(tmp_path):
                                    rtol=1e-9, err_msg=f)
 
 
+def test_roundtrip_bus_area(tmp_path):
+    # BUS_AREA survives the .m round-trip (0-based contiguous), enabling
+    # multiarea --system case on loaded files; single-area cases load as
+    # bus_area None.
+    case = cases.rts96()
+    path = str(tmp_path / "r96.m")
+    save_matpower_case(case, path)
+    got = load_matpower_case(path)
+    np.testing.assert_array_equal(got.bus_area, case.bus_area)
+    single = cases.rts24()
+    assert single.bus_area is None
+    path1 = str(tmp_path / "r24.m")
+    save_matpower_case(single, path1)
+    assert load_matpower_case(path1).bus_area is None
+
+
+def test_case_hl15_view_from_loaded_file(tmp_path):
+    from powersystemsreliabilityassessment_tpu.studies import multiarea_demo
+    case = cases.rts96()
+    path = str(tmp_path / "r96b.m")
+    save_matpower_case(case, path)
+    sys_direct = multiarea_demo.case_system(case, hours=48)
+    sys_loaded = multiarea_demo.case_system(load_matpower_case(path),
+                                            hours=48)
+    assert sys_loaded.area_names == sys_direct.area_names
+    np.testing.assert_allclose(sys_loaded.tie_cap, sys_direct.tie_cap)
+    np.testing.assert_allclose(sys_loaded.hourly_load,
+                               sys_direct.hourly_load, rtol=1e-6)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="no area structure"):
+        multiarea_demo.case_system(cases.rts24(), hours=48)
+
+
 def test_roundtrip_system_parity(tmp_path):
     """The loaded case builds the same electrical model (PTDF)."""
     from powersystemsreliabilityassessment_tpu.core.system import build_system
