@@ -15,7 +15,9 @@ import argparse
 import json
 
 
-def main() -> None:
+def build_parser() -> argparse.ArgumentParser:
+    """CLI parser, separate from dispatch so tests can parse
+    flag combinations without running a study."""
     p = argparse.ArgumentParser(prog="powersystemsreliabilityassessment_tpu")
     sub = p.add_subparsers(dest="study", required=True)
 
@@ -112,6 +114,11 @@ def main() -> None:
 
     sub.add_parser("bench")
 
+    return p
+
+
+def main() -> None:
+    p = build_parser()
     args = p.parse_args()
 
     if args.study == "nsq":
