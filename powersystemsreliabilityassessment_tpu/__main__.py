@@ -39,6 +39,9 @@ def build_parser() -> argparse.ArgumentParser:
                      help="copper-sheet control variate with exact f64 "
                           "COPT mean (composes with --is-boost and "
                           "antithetic; studies/hl2_nsq.py)")
+    nsq.add_argument("--early-exit", action="store_true",
+                     help="fused-IPM whole-block early exit + difficulty-"
+                          "ordered LP compaction (IPMConfig.early_exit)")
 
     seq = sub.add_parser("seq")
     seq.add_argument("--case", default="rts24",
@@ -72,6 +75,9 @@ def build_parser() -> argparse.ArgumentParser:
                           "(continuous dwells, no January transient)")
     seq.add_argument("--split-max", type=int, default=8,
                      help="max split parents per device batch")
+    seq.add_argument("--early-exit", action="store_true",
+                     help="fused-IPM whole-block early exit + difficulty-"
+                          "ordered LP compaction (IPMConfig.early_exit)")
     seq.add_argument("--maintenance", action="store_true",
                      help="apply the levelized maintenance schedule "
                           "derived from the genweeks data (reference "
@@ -134,11 +140,13 @@ def main() -> None:
         cls = (OrbaxCheckpointer if args.checkpoint_backend == "orbax"
                else Checkpointer)
         ck = cls(args.checkpoint) if args.checkpoint else None
+        from powersystemsreliabilityassessment_tpu.utils.config import IPMConfig
         res = run_nsq_study(case, MCSConfig(
             batch_size=args.batch, max_samples=args.samples,
             beta_limit=args.beta, seed=args.seed,
             is_boost=args.is_boost), checkpointer=ck,
-            control_variate=args.control_variate)
+            control_variate=args.control_variate,
+            ipm=IPMConfig(early_exit=args.early_exit))
         report.export_study(res, args.out, "nsq")
         report.plot_nsq(res, f"{args.out}/convergence.png", args.beta)
         report.plot_nodal_and_weakpoints(
@@ -181,13 +189,16 @@ def main() -> None:
                             max_split=args.split_max),
                 years_per_device=args.years_per_device, checkpointer=ck)
         else:
+            from powersystemsreliabilityassessment_tpu.utils.config import (
+                IPMConfig)
             res = run_seq_study(case, MCSConfig(
                 max_years=args.years, cov_threshold=args.cov,
                 seed=args.seed),
                 years_per_device=args.years_per_device, checkpointer=ck,
                 sampling=args.sampling,
                 control_variate=args.control_variate,
-                scheduled_maintenance=args.maintenance)
+                scheduled_maintenance=args.maintenance,
+                ipm=IPMConfig(early_exit=args.early_exit))
         report.export_study(res, args.out, "seq")
         report.plot_seq(res, f"{args.out}/convergence_curve.png", args.cov,
                         case.n_gen)

@@ -20,6 +20,8 @@ from powersystemsreliabilityassessment_tpu.__main__ import build_parser
      "--seed", "3", "--is-boost", "2.5", "--control-variate",
      "--checkpoint", "/tmp/x.json", "--checkpoint-backend", "orbax"],
     ["nsq", "--case", "path/to/case.m"],
+    ["nsq", "--early-exit"],
+    ["seq", "--early-exit", "--control-variate"],
     ["seq"],
     ["seq", "--years", "100", "--cov", "0.1", "--years-per-device", "8",
      "--sampling", "stationary", "--control-variate"],
