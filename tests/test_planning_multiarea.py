@@ -124,6 +124,44 @@ class TestMultiArea:
         assert float(out[0, 1]) == pytest.approx(20.0, abs=0.1)
         assert float(out[0, 2]) == pytest.approx(70.0, abs=0.1)
 
+    def test_random_topologies_match_f64_lp_oracle(self):
+        # Randomized optimality: TOTAL curtailment from the engine (f32
+        # IPM + closed-form repair, surplus-only cap, flow tiebreak) must
+        # equal the float64 HiGHS optimum of the uncapped min-total-
+        # curtailment LP. (The surplus-only cap and the 1e-3 flow
+        # tiebreak change only the per-area split among degenerate
+        # optima, never the total — this pins exactly that claim.)
+        from scipy.optimize import linprog
+        rng = np.random.default_rng(17)
+        for trial in range(12):
+            A = int(rng.integers(2, 6))
+            T = int(rng.integers(1, 2 * A))
+            tf = rng.integers(0, A, T)
+            tt = (tf + rng.integers(1, A, T)) % A        # no self-loops
+            cap = rng.uniform(5.0, 80.0, T)
+            m = rng.uniform(-100.0, 120.0, (4, A))
+            out = multiarea.solve_curtailment(
+                jnp.asarray(m, jnp.float32), jnp.asarray(tf, jnp.int32),
+                jnp.asarray(tt, jnp.int32), jnp.asarray(cap, jnp.float32))
+            inc = np.zeros((A, T))
+            np.add.at(inc, (tt, np.arange(T)), 1.0)
+            np.add.at(inc, (tf, np.arange(T)), -1.0)
+            for b in range(m.shape[0]):
+                # min sum(c) s.t. c + inc@(f+ - f-) >= -margin, c,f >= 0
+                A_ub = np.concatenate([-np.eye(A), -inc, inc], axis=1)
+                res = linprog(
+                    c=np.concatenate([np.ones(A), np.zeros(2 * T)]),
+                    A_ub=A_ub, b_ub=m[b],
+                    bounds=[(0, None)] * A + [(0, c) for c in cap] * 2,
+                    method="highs")
+                assert res.status == 0
+                total = float(jnp.sum(out[b]))
+                assert total == pytest.approx(res.fun, abs=0.15), (
+                    trial, b, total, res.fun)
+                # ...and each area never exceeds its isolated deficit.
+                assert np.all(np.asarray(out[b])
+                              <= np.maximum(-m[b], 0.0) + 1e-3)
+
     def test_areas_from_case_rts96(self):
         from powersystemsreliabilityassessment_tpu.core import cases
         case = cases.rts96()
