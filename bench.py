@@ -44,7 +44,12 @@ def main() -> None:
     sys = build_system(case, compat)
 
     batch = 262144
-    max_lp = 4096  # fast-mode LP need is ~0.6% of 262144 = ~1600; ~2.5x headroom
+    # Fast-mode LP need is ~0.6% of 262144 = ~1600 lanes (binomial sd ~40,
+    # so 2048 leaves ~12 sigma of headroom; zero overflows observed).
+    # The fused IPM solves every buffer lane, padding included, so buffer
+    # size is pure overhead above the need: measured 5.42M scen/s at 4096
+    # vs 7.01M at 2048 with bit-identical DNS (scripts/probe_bench_maxlp.py).
+    max_lp = 2048
 
     @jax.jit
     def step(key):

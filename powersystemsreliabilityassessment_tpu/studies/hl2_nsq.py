@@ -34,6 +34,30 @@ from powersystemsreliabilityassessment_tpu.utils.config import (
     CompatFlags, IPMConfig, MCSConfig)
 
 
+def default_max_lp(batch_per_device: int, nodal_mode: str = "lp",
+                   is_boost: float = 0.0) -> int:
+    """Default LP-lane buffer per device batch.
+
+    The IPM solves every buffer lane (padding included), so the buffer
+    should track the actual LP need, with overflow self-correcting via
+    the study's grow-and-redo loop:
+    - "lp" nodal mode sends every positive-deficit state to the LP
+      (~10% of RTS-24 peak states): 25% buffer.
+    - "proportional" mode LP-solves only certificate-failing states
+      (~0.6% at RTS-24 peak): 6.25% buffer is ~10x the need and
+      measured ~30% faster end-to-end than 25%
+      (scripts/probe_bench_maxlp.py).
+    - Importance sampling boosts the multi-outage rate: 50% buffer.
+    """
+    if is_boost > 1.0:
+        frac = 2
+    elif nodal_mode == "proportional":
+        frac = 16
+    else:
+        frac = 4
+    return max(batch_per_device // frac, 16)
+
+
 def make_nsq_batch_step(sys: System, mesh: Mesh, batch_per_device: int,
                         compat: CompatFlags, ipm: IPMConfig,
                         max_lp: int | None = None, antithetic: bool = False,
@@ -50,12 +74,7 @@ def make_nsq_batch_step(sys: System, mesh: Mesh, batch_per_device: int,
     assert not (antithetic and is_boost > 0), \
         "antithetic and importance sampling are mutually exclusive"
     if max_lp is None:
-        # Peak-load shed probability is ~10%; 50% buffer is effectively
-        # overflow-free while still skipping the LP for ~85% of states.
-        # Importance sampling boosts the multi-outage rate, so scale the
-        # buffer accordingly.
-        frac = 4 if is_boost <= 1.0 else 2
-        max_lp = max(batch_per_device // frac, 16)
+        max_lp = default_max_lp(batch_per_device, nodal_mode, is_boost)
 
     if cv_arrays is not None:
         gen_cap_mw = jnp.asarray(cv_arrays[0], jnp.float32)
@@ -171,11 +190,10 @@ def run_nsq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
     bpd = max(cfg.batch_size // n_dev, 1)
     if max_lp is None:
         # Resolve the step's default HERE so consume()'s doubling always
-        # grows from the buffer actually in use (with is_boost > 1 the
-        # step defaults to bpd//2; growing from an assumed bpd//4 would
-        # rebuild an identical step and waste a full redo + compile).
-        frac = 4 if cfg.is_boost <= 1.0 else 2
-        max_lp = max(bpd // frac, 16)
+        # grows from the buffer actually in use (growing from a wrongly
+        # assumed default would rebuild an identical step and waste a
+        # full redo + compile).
+        max_lp = default_max_lp(bpd, cfg.nodal_mode, cfg.is_boost)
 
     cv_arrays = None
     if control_variate:
