@@ -42,6 +42,11 @@ def build_parser() -> argparse.ArgumentParser:
     nsq.add_argument("--early-exit", action="store_true",
                      help="fused-IPM whole-block early exit + difficulty-"
                           "ordered LP compaction (IPMConfig.early_exit)")
+    nsq.add_argument("--enum-order", type=int, default=0,
+                     help="contingency-enumeration hybrid: evaluate every "
+                          "state with <= K outages exactly (f64-weighted "
+                          "pre-pass), MC only the deeper tail "
+                          "(sampling/enumeration.py; try 3-5)")
 
     seq = sub.add_parser("seq")
     seq.add_argument("--case", default="rts24",
@@ -146,6 +151,7 @@ def main() -> None:
             beta_limit=args.beta, seed=args.seed,
             is_boost=args.is_boost), checkpointer=ck,
             control_variate=args.control_variate,
+            enum_order=args.enum_order,
             ipm=IPMConfig(early_exit=args.early_exit))
         report.export_study(res, args.out, "nsq")
         report.plot_nsq(res, f"{args.out}/convergence.png", args.beta)

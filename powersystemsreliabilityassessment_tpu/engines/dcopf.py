@@ -554,7 +554,11 @@ def _finalize(sys: System, compat: CompatFlags, shed, pg, res, comp_down,
     # (primal_residual field) for monitoring. (The reference silently
     # records ZERO on solver failure, seqMain.m:117-126; a bound is
     # strictly better and still flagged.)
-    bad = (~cert.certified) & (res > 5e-3)
+    # NaN-safe: a lane whose IPM iterate blew up entirely has res = NaN,
+    # and ``NaN > 5e-3`` is False — write the guard as ~(res <= tol) so
+    # non-finite scores degrade too (observed: a double-line islanding
+    # state on the CPU float32 path returned NaN through a False guard).
+    bad = (~cert.certified) & ~(res <= 5e-3)
     dns = jnp.where(bad, cert.deficit * base, dns)
     shed = jnp.where(bad[:, None], cert.shed, shed)
     nodal = (shed * base) @ sys.load_onehot.T  # [B, nb]

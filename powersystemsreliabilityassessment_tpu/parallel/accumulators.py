@@ -115,6 +115,14 @@ class RunningStats:
     mu_dns: float = 0.0
     mu_flag: float = 0.0
     sum_flag_raw: float = 0.0
+    # Enumeration-hybrid offsets (studies/hl2_nsq.py enum_order > 0): the
+    # device sums then hold tail-masked values and these carry the exact
+    # enumerated contributions (sampling/enumeration.py). All default to
+    # zero/None so plain-MC and CV behavior (and old checkpoints) are
+    # unchanged.
+    mu_nodal: np.ndarray | None = None
+    mu_comp_fail: np.ndarray | None = None
+    mu_flag_raw: float = 0.0
 
     def update(self, m: BatchMoments) -> None:
         m = jax.tree.map(lambda a: np.asarray(a, np.float64), m)
@@ -163,7 +171,10 @@ class RunningStats:
 
     def nodal_eens(self, hours_per_year: float = 8760.0) -> np.ndarray:
         """Per-bus EENS MWh/yr (nsqMain.m:345-358: mean nodal DNS * 8760)."""
-        return self.sum_nodal / max(self.n, 1.0) * hours_per_year
+        mean = self.sum_nodal / max(self.n, 1.0)
+        if self.mu_nodal is not None:
+            mean = mean + self.mu_nodal
+        return mean * hours_per_year
 
     def component_importance(self) -> np.ndarray:
         """P(component down | system failure) (nsqMain.m:360-376).
@@ -172,11 +183,20 @@ class RunningStats:
         ``sum_flag`` holds residuals whose sum is near zero, not the
         failure count. (``sum_flag_raw`` falls back to ``sum_flag`` for
         checkpoints written before the field existed — they predate CV
-        mode, where the two are equal.)"""
-        denom = self.sum_flag_raw or self.sum_flag
-        if self.sum_comp_fail is None or denom == 0:
+        mode, where the two are equal.) Under the enumeration hybrid both
+        numerator and denominator combine the exact enumerated part with
+        the tail-MC mean — a ratio of means, identical to the ratio of
+        counts when the exact parts are zero."""
+        if self.sum_comp_fail is None:
             return np.zeros(0)
-        return self.sum_comp_fail / denom
+        n = max(self.n, 1.0)
+        num = self.sum_comp_fail / n
+        if self.mu_comp_fail is not None:
+            num = num + self.mu_comp_fail
+        den = (self.sum_flag_raw or self.sum_flag) / n + self.mu_flag_raw
+        if den == 0:
+            return np.zeros(0)
+        return num / den
 
     def state(self) -> dict:
         return dataclasses.asdict(self)
@@ -187,7 +207,7 @@ class RunningStats:
         # here so index properties work even when a restored run
         # converges before folding another batch (list / float raises).
         d = dict(d)
-        for k in ("sum_nodal", "sum_comp_fail"):
+        for k in ("sum_nodal", "sum_comp_fail", "mu_nodal", "mu_comp_fail"):
             if d.get(k) is not None:
                 d[k] = np.asarray(d[k], np.float64)
         return cls(**d)

@@ -62,17 +62,27 @@ def make_nsq_batch_step(sys: System, mesh: Mesh, batch_per_device: int,
                         compat: CompatFlags, ipm: IPMConfig,
                         max_lp: int | None = None, antithetic: bool = False,
                         nodal_mode: str = "lp", is_boost: float = 0.0,
-                        cv_arrays: tuple | None = None):
+                        cv_arrays: tuple | None = None,
+                        enum_order: int = 0):
     """Build the jitted, mesh-sharded one-batch step: key -> BatchMoments.
 
     ``cv_arrays = (gen_cap_mw [ng] f32, total_load_mw, mu_e, mu_l)``
     enables the copper-sheet control variate (see run_nsq_study).
+
+    ``enum_order > 0`` masks every sampled state with <= enum_order
+    outages out of the moments: those states' contributions are carried
+    EXACTLY by the enumeration pre-pass (sampling/enumeration.py) via
+    the RunningStats ``mu_*`` offsets, so the MC estimates only the
+    deep-tail term E[f(S) * 1(#down > enum_order)].
     """
     from powersystemsreliabilityassessment_tpu.sampling.state import (
         sample_states, sample_states_importance)
 
     assert not (antithetic and is_boost > 0), \
         "antithetic and importance sampling are mutually exclusive"
+    assert not (enum_order > 0 and cv_arrays is not None), \
+        "enumeration hybrid and control variate both carry exact-mean " \
+        "offsets; combine is not supported"
     if max_lp is None:
         max_lp = default_max_lp(batch_per_device, nodal_mode, is_boost)
 
@@ -98,6 +108,16 @@ def make_nsq_batch_step(sys: System, mesh: Mesh, batch_per_device: int,
                                 (batch_per_device, sys.n_load))
         res, n_over = dcopf.evaluate_states_screened(
             sys, down, load, max_lp, compat, ipm, nodal_mode)
+        if enum_order > 0:
+            # Tail mask: low-order states are counted exactly by the
+            # enumeration pre-pass; only #down > enum_order contributes
+            # to the MC moments (n still counts every sample, so the
+            # tail term is E[f * 1(tail)], not a conditional mean).
+            tail = jnp.sum(down, axis=1) > enum_order
+            res = res._replace(
+                dns_mw=res.dns_mw * tail,
+                nodal_mw=res.nodal_mw * tail[:, None],
+                failure=res.failure & tail)
         cv = None
         if cv_cap:
             # Copper-sheet control variate in MW: integer-valued f32 unit
@@ -148,6 +168,13 @@ class NSQResult:
     # States with no feasible dispatch (enforce_pmin only) — the reference
     # silently records zero for these (seqMain.m:117-126); reported here.
     infeasible_states: int = 0
+    # Enumeration-hybrid diagnostics (enum_order > 0): enumerated state
+    # count, their exact probability mass, and the exact EDNS part (the
+    # MC contribution is edns_mw - enum_edns_exact_mw).
+    enum_order: int = 0
+    enum_states: int = 0
+    enum_mass: float = 0.0
+    enum_edns_exact_mw: float = 0.0
 
     def to_dict(self) -> dict[str, Any]:
         d = dataclasses.asdict(self)
@@ -164,11 +191,22 @@ def run_nsq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
                   checkpoint_every: int = 50,
                   log_every: int = 10,
                   max_lp: int | None = None,
-                  control_variate: bool = False) -> NSQResult:
+                  control_variate: bool = False,
+                  enum_order: int = 0) -> NSQResult:
     """``max_lp``: initial LP-lane buffer per device batch (None = the
     step's default); on overflow it doubles and the batch is redone with
     the same keys, so the estimate is invariant to the initial size
     (tests/test_parallel.py::test_nsq_adaptive_lp_buffer_redo_exact).
+
+    ``enum_order=k > 0`` enables the enumeration hybrid (classic
+    contingency enumeration, sampling/enumeration.py): every state with
+    <= k outages is evaluated ONCE exactly (float64-weighted pre-pass
+    through the same evaluator), and the MC loop estimates only the
+    #down > k tail. Zero sampling variance on the enumerated mass
+    (97.6% of RTS-24 state space at k=4); measured EDNS-variance
+    reduction 3.5x at k=4, 10.8x at k=5. Composes with antithetic and
+    is_boost (the tail is exactly the rare region a boost targets); not
+    with control_variate (both use the exact-mean offsets).
 
     ``control_variate=True`` subtracts each state's copper-sheet deficit
     and adds back its EXACT expectation from a float64 COPT at the peak
@@ -212,10 +250,15 @@ def run_nsq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
             print(f"control variate: mu_EDNS {mu_e:.4f} MW, "
                   f"mu_PLC {mu_l:.6f} (exact f64 COPT)")
 
+    if enum_order > 0 and control_variate:
+        raise ValueError("enum_order and control_variate are mutually "
+                         "exclusive (both carry exact-mean offsets)")
+
     step = make_nsq_batch_step(sys, mesh, bpd, compat, ipm, max_lp=max_lp,
                                antithetic=cfg.antithetic,
                                nodal_mode=cfg.nodal_mode,
-                               is_boost=cfg.is_boost, cv_arrays=cv_arrays)
+                               is_boost=cfg.is_boost, cv_arrays=cv_arrays,
+                               enum_order=enum_order)
     root = jax.random.key(cfg.seed)
 
     stats = accumulators.RunningStats()
@@ -223,15 +266,41 @@ def run_nsq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
         stats.mu_dns, stats.mu_flag = float(mu_e), float(mu_l)
     histories = {"beta": [], "edns": [], "lole": [], "plc": []}
     batch_idx, overflow, infeasible = 0, 0, 0
+    exact = None
 
-    if checkpointer is not None:
-        restored = checkpointer.restore()
-        if restored is not None:
-            stats = accumulators.RunningStats.from_state(restored["stats"])
-            histories = restored["histories"]
-            batch_idx = int(restored["batch_idx"])
-            overflow = int(restored.get("overflow", 0))
-            infeasible = int(restored.get("infeasible", 0))
+    restored = checkpointer.restore() if checkpointer is not None else None
+    if restored is not None:
+        stats = accumulators.RunningStats.from_state(restored["stats"])
+        histories = restored["histories"]
+        batch_idx = int(restored["batch_idx"])
+        overflow = int(restored.get("overflow", 0))
+        infeasible = int(restored.get("infeasible", 0))
+    elif enum_order > 0:
+        # Enumeration pre-pass (skipped on resume: the exact part lives
+        # in the checkpointed mu_* offsets already).
+        from powersystemsreliabilityassessment_tpu.sampling import (
+            enumeration)
+        exact = enumeration.enumerate_exact(
+            sys, compat, ipm, cfg.nodal_mode, enum_order,
+            log_every=log_every)
+        stats.mu_dns = exact.edns_mw
+        stats.mu_flag = exact.pfail
+        stats.mu_flag_raw = exact.pfail
+        stats.mu_nodal = exact.nodal_mw
+        stats.mu_comp_fail = exact.comp_fail
+        if log_every:
+            print(f"enumeration order {enum_order}: {exact.n_states:,} "
+                  f"states, mass {exact.mass:.6f} (tail "
+                  f"{exact.tail_mass:.2e}), exact EDNS part "
+                  f"{exact.edns_mw:.4f} MW, exact PLC part "
+                  f"{exact.pfail:.6f}")
+
+    enum_info = None
+    if exact is not None:
+        enum_info = {"order": enum_order, "n_states": exact.n_states,
+                     "mass": exact.mass, "edns_exact": exact.edns_mw}
+    elif restored is not None:
+        enum_info = restored.get("enum")
 
     def consume(out, next_idx) -> bool:
         """Fold a finished batch into stats; True if a redo is needed."""
@@ -248,7 +317,8 @@ def run_nsq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
                 step = make_nsq_batch_step(
                     sys, mesh, bpd, compat, ipm, max_lp=max_lp,
                     antithetic=cfg.antithetic, nodal_mode=cfg.nodal_mode,
-                    is_boost=cfg.is_boost, cv_arrays=cv_arrays)
+                    is_boost=cfg.is_boost, cv_arrays=cv_arrays,
+                    enum_order=enum_order)
                 return True
             overflow += int(n_over)  # buffer already at batch size
         infeasible += int(n_infeas)
@@ -267,7 +337,8 @@ def run_nsq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
                                "histories": histories,
                                "batch_idx": next_idx,
                                "overflow": overflow,
-                               "infeasible": infeasible})
+                               "infeasible": infeasible,
+                               "enum": enum_info})
         return False
 
     global_batch = bpd * n_dev
@@ -293,4 +364,8 @@ def run_nsq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
         plc_history=histories["plc"],
         overflow_states=overflow,
         infeasible_states=infeasible,
+        enum_order=enum_order,
+        enum_states=(enum_info or {}).get("n_states", 0),
+        enum_mass=(enum_info or {}).get("mass", 0.0),
+        enum_edns_exact_mw=(enum_info or {}).get("edns_exact", 0.0),
     )

@@ -318,3 +318,23 @@ def test_baseline_report_intact_system():
     assert abs(r["capacity_mw"] - 3405.0) < 1.0
     assert abs(r["peak_load_mw"] - 2850.0) < 1.0
     assert 0.0 < r["max_line_loading"] < 1.0  # RTS-24 intact is uncongested
+
+
+def test_nan_lane_degrades_not_propagates(sys24):
+    """A double-line islanding state (branches 6 & 26 down) blows up the
+    CPU float32 IPM iterate to NaN; the quality guard must catch the
+    non-finite score (NaN > tol is False!) and degrade the lane to the
+    certified copper bound instead of returning NaN, matching the f64
+    oracle's value within the LP's noise or bounding it from below."""
+    ng = sys24.n_gen
+    down = np.zeros((1, sys24.n_comp), bool)
+    down[0, ng + 6] = True
+    down[0, ng + 26] = True
+    load = jnp.broadcast_to(sys24.load_pd[None, :], (1, sys24.n_load))
+    res = dcopf.evaluate_states(sys24, jnp.asarray(down), load, COMPAT, IPM)
+    dns = float(res.dns_mw[0])
+    assert np.isfinite(dns)
+    ref = scipy_dns(sys24, down[0], np.asarray(load)[0])
+    # Either the lane solved (matches oracle) or it degraded to the
+    # copper-sheet LOWER bound (<= oracle, never an overestimate).
+    assert dns <= ref + 0.05
