@@ -210,13 +210,19 @@ def run_seq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
                   compat: CompatFlags = CompatFlags(),
                   ipm: IPMConfig = IPMConfig(),
                   mesh: Mesh | None = None,
-                  # Large year batches amortize the pooled-TPU relay's
-                  # per-dispatch cost (up to ~0.4 s; see CLAUDE.md): the
-                  # flat-batch step evaluates ~2M hour-states/s, so batch
-                  # compute is ~0.06 s at 16 years while dispatch can
-                  # cost 6x that. Bigger blocks also cost more ONE-TIME
-                  # remote-compile minutes — 16 balances the two; raise
-                  # it (CLI --years-per-device) for very long runs.
+                  # Block-size tradeoff, measured 2026-08-18 (v5e, pooled
+                  # relay): the step COMPUTE is ~6.5M hour-states/s and
+                  # scales cleanly (Y=64 block: 85 ms, sampler 36 ms of
+                  # it), and the double-buffered loop overlaps dispatch
+                  # with consume so steady-state wall is ~0.26 s/batch
+                  # REGARDLESS of Y (relay fetch floor). Bigger blocks
+                  # therefore cut total dispatches 4x — but one-time
+                  # trace+lower+compile grows with the program (~30 s at
+                  # Y=16, ~70 s at Y=64), which at reference scale
+                  # (~2,200 years) cancels the savings exactly. 16 keeps
+                  # the round-1 "cold start < 60 s" property; raise
+                  # --years-per-device for multi-10k-year runs where the
+                  # dispatch count dominates.
                   years_per_device: int = 16,
                   max_lp: int = 256,
                   hours: int | None = None,
