@@ -8,8 +8,9 @@ The metric counts complete minimum-load-shedding state evaluations per
 second per chip on the NSQ peak-load scenario distribution (the reference's
 hot loop: MATPOWER MIPS DC-OPF per sampled state under parfor,
 nsqMain.m:257-263). Evaluation uses the production two-tier path: exact
-PTDF/LODF optimality certificates (with a flow-repair pass) resolve ~99%
-of states, and the Pallas-accelerated interior-point LP solves the rest —
+PTDF/LODF/Woodbury optimality certificates (with a post-outage
+flow-repair pass) resolve ~99.96% of states, and the Pallas-accelerated
+interior-point LP solves the rest —
 every state's returned solution is a PROVABLY OPTIMAL point of its
 min-shed LP (certificates carry optimality proofs; the LP is verified
 against float64 oracles in tests). The LP lanes run through the fused
@@ -44,12 +45,16 @@ def main() -> None:
     sys = build_system(case, compat)
 
     batch = 262144
-    # Fast-mode LP need is ~0.6% of 262144 = ~1600 lanes (binomial sd ~40,
-    # so 2048 leaves ~12 sigma of headroom; zero overflows observed).
-    # The fused IPM solves every buffer lane, padding included, so buffer
-    # size is pure overhead above the need: measured 5.42M scen/s at 4096
-    # vs 7.01M at 2048 with bit-identical DNS (scripts/probe_bench_maxlp.py).
-    max_lp = 2048
+    # Fast-mode LP need is ~116 lanes of 262144 (0.044%; binomial sd ~11,
+    # max 139 over 24 probed batches — so 256 leaves ~11 sigma of
+    # headroom; zero overflows observed, and an overflow would only log +
+    # degrade the overflowed lanes to certified bounds, never corrupt the
+    # estimate). The fused IPM solves every buffer lane, padding
+    # included, so buffer size is pure overhead above the need: 13.3M
+    # scen/s at 2048 vs 26.1M at 256 after the gather-free certificate
+    # rewrite + post-outage (LODF-corrected) repair extension
+    # (scripts/probe_bench_maxlp.py, /tmp probes logged in NEXT.md).
+    max_lp = 256
 
     @jax.jit
     def step(key):

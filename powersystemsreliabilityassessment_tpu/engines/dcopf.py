@@ -251,7 +251,8 @@ def _rebalance_shed(cand: jax.Array, caps: jax.Array,
 
 
 def certify_states(sys: System, comp_down: jax.Array, load_pu: jax.Array,
-                   shed_hint: jax.Array | None = None) -> Certificate:
+                   shed_hint: jax.Array | None = None,
+                   repair_iters: int = 3) -> Certificate:
     """Tier-1 exact bound certificate (batch).
 
     For states with no branch outage: DNS >= deficit = max(0, load - cap).
@@ -259,11 +260,19 @@ def certify_states(sys: System, comp_down: jax.Array, load_pu: jax.Array,
     ``shed_hint``'s pattern when provided, else load-proportional) and
     check the intact-network PTDF flows. If they pass, the bound is the
     exact optimum of the Tier-2 LP.
+
+    For states with ONE outaged branch the same candidate is checked (and
+    repaired) against the exact rank-1 LODF post-outage flows, and for
+    two outages against the exact rank-2 Woodbury update — so the
+    certificate covers intact, N-1 and N-2 topologies; deeper outages and
+    islanding patterns fall through to the LP.
+
+    ``repair_iters=0`` skips the flow-repair descent (first candidate +
+    post-outage checks only; used by profiling scripts).
     """
     ng = sys.n_gen
     dt = sys.bus_pd.dtype
     gen_up = 1.0 - comp_down[:, :ng].astype(dt)
-    no_line_out = ~jnp.any(comp_down[:, ng:], axis=1)
     cap = gen_up @ sys.gen_pmax                        # [B]
     load_tot = jnp.sum(load_pu, axis=1)                # [B]
     deficit = jnp.maximum(load_tot - cap, 0.0)
@@ -302,7 +311,27 @@ def certify_states(sys: System, comp_down: jax.Array, load_pu: jax.Array,
     rate_ok = sys.br_rate[None, :] + 1e-4
     ptdf_load = sys.ptdf @ sys.load_onehot             # [nl, nd]
     flows = flows_of(cand)
-    flow_ok = jnp.all(jnp.abs(flows) <= rate_ok, axis=1)
+
+    # Post-outage flows via the LODF rank-1 update, gather-free: with
+    # exactly one outaged branch k, (br_down * f) = f_k * e_k, so
+    # (br_down * f) @ lodf.T == lodf[:, k] * f_k — a shared MXU matmul
+    # instead of a per-lane column gather (per-lane gathers from small
+    # tables dominated the certificate's cost: the gather-free rewrite
+    # cut certify_states from 25.4 to 7.7 ms at B=262144). For intact
+    # lanes the correction is exactly zero, so ONE check covers both:
+    # exact for n_out <= 1 (`eligible`). Islanding outages carry a 1e6
+    # sentinel in their LODF column: any nonzero flow on the islanding
+    # line fails the check and falls to the LP, while an exactly-zero
+    # flow passes — correctly, since removing a zero-flow line leaves
+    # the flow pattern feasible on the reduced network.
+    br_down = comp_down[:, ng:].astype(dt)
+    n_out = jnp.sum(br_down, axis=1)
+    eligible = n_out <= 1
+
+    def post_flows(f):
+        return (f + (br_down * f) @ sys.lodf.T) * (1.0 - br_down)
+
+    best_ok = jnp.all(jnp.abs(post_flows(flows)) <= rate_ok, axis=1)
 
     # Repair passes: when the first candidate congests a line, move BOTH
     # free quantities along their PTDF sensitivities — the shed pattern
@@ -312,7 +341,11 @@ def certify_states(sys: System, comp_down: jax.Array, load_pu: jax.Array,
     # if it passes, the copper bound is certified with it; otherwise the
     # state falls through to the LP. Dispatch repair is what certifies
     # multi-area systems, where the uniform-alpha dispatch forces large
-    # inter-area transfers the ties cannot carry.
+    # inter-area transfers the ties cannot carry. The loop repairs the
+    # POST-OUTAGE flows, so it rescues single-line-outage lanes too (they
+    # were ~90% of LP-needy lanes at RTS-24 peak when only intact lanes
+    # were repaired); the gradient picks up the LODF chain-rule term
+    # d post_l / d f = I + e_k lodf[:,k]', i.e. w = v + br_down*(v@lodf).
     ptdf_gen = sys.ptdf @ sys.gen_bus_onehot              # [nl, ng]
     gen_cap = sys.gen_pmax[None, :] * gen_up              # [B, ng]
 
@@ -321,60 +354,42 @@ def certify_states(sys: System, comp_down: jax.Array, load_pu: jax.Array,
                - load_pu @ sys.load_onehot.T)
         return inj @ sys.ptdf.T
 
-    best_ok = flow_ok
     best_shed, best_disp = cand, dispatch
-    cur_shed, cur_disp, cur_flows = cand, dispatch, flows
-    for _ in range(3):
-        over = jnp.maximum(jnp.abs(cur_flows) - sys.br_rate[None, :], 0.0)
-        sgn_over = jnp.sign(cur_flows) * over
+    cur_shed, cur_disp, cur_post = cand, dispatch, post_flows(flows)
+    for _ in range(repair_iters):
+        over = jnp.maximum(jnp.abs(cur_post) - sys.br_rate[None, :], 0.0)
+        sgn_over = jnp.sign(cur_post) * over
+        w = sgn_over + br_down * (sgn_over @ sys.lodf)    # [B, nl]
         # dispatch adjustment (scaled to the larger of the two totals)
-        grad_g = sgn_over @ ptdf_gen                      # [B, ng]
+        grad_g = w @ ptdf_gen                             # [B, ng]
         grad_g = grad_g - jnp.mean(grad_g, axis=1, keepdims=True)
         step_g = (jnp.sum(over, axis=1) / jnp.maximum(
             jnp.max(jnp.abs(grad_g), axis=1), 1e-9))[:, None]
         disp_t = jnp.clip(cur_disp - step_g * grad_g, 0.0, gen_cap)
         disp_t = _rebalance_shed(disp_t, gen_cap, served)
         # shed adjustment
-        grad = sgn_over @ ptdf_load                       # [B, nd]
+        grad = w @ ptdf_load                              # [B, nd]
         grad = grad - jnp.mean(grad, axis=1, keepdims=True)
         step_sz = (deficit / jnp.maximum(
             jnp.max(jnp.abs(grad), axis=1), 1e-9))[:, None]
         trial = jnp.clip(cur_shed - step_sz * grad, 0.0, load_pu)
         trial = _rebalance_shed(trial, load_pu, deficit)
-        f_trial = flows_full(disp_t, trial)
-        ok_trial = jnp.all(jnp.abs(f_trial) <= rate_ok, axis=1)
-        # the intact-network check only certifies no-line-out lanes
-        newly = ~best_ok & ok_trial & no_line_out
+        post_t = post_flows(flows_full(disp_t, trial))
+        ok_trial = jnp.all(jnp.abs(post_t) <= rate_ok, axis=1)
+        # the rank-1-corrected check is exact only for n_out <= 1 lanes
+        newly = ~best_ok & ok_trial & eligible
         best_shed = jnp.where(newly[:, None], trial, best_shed)
         best_disp = jnp.where(newly[:, None], disp_t, best_disp)
         best_ok = best_ok | ok_trial
-        cur_shed, cur_disp, cur_flows = trial, disp_t, f_trial
+        cur_shed, cur_disp, cur_post = trial, disp_t, post_t
 
     cand = best_shed
     dispatch = best_disp
-    certified = no_line_out & best_ok
-
-    # Single-branch-outage extension via LODF (exact post-outage flows):
-    # crucial for chronological studies, where a 768-hour transformer
-    # repair would otherwise send an entire stretch of hours to the LP.
-    # Only the zero-deficit case is certified here (shed pattern trivial);
-    # islanding outages carry a 1e6 sentinel in their LODF column, which
-    # fails the flow check and falls through to the LP.
-    # The rank-1/rank-2 post-outage flow updates below are exact for ANY
-    # injection pattern, and the copper-sheet deficit remains a valid
-    # lower bound on the reduced network, so these certificates apply to
-    # deficit>0 states too (their shed/dispatch candidate is `cand`/
-    # `dispatch`, whose intact-network flows are `flows`; line-out lanes
-    # are excluded from the repair loop, so the pairing is consistent).
-    br_down = comp_down[:, ng:].astype(dt)
-    n_out = jnp.sum(br_down, axis=1)
-    single = n_out == 1
-    k = jnp.argmax(br_down, axis=1)                    # [B]
-    fk = jnp.take_along_axis(flows, k[:, None], axis=1)  # [B, 1]
-    post = flows + sys.lodf[:, k].T * fk               # [B, nl]
-    post = post * (1.0 - br_down)                      # outaged line: 0
-    single_ok = single & jnp.all(jnp.abs(post) <= rate_ok, axis=1)
-    certified = certified | single_ok
+    # The copper-sheet deficit remains a valid lower bound on any reduced
+    # network (removing a line never adds capacity), and the candidate
+    # achieves it with feasible post-outage flows — so the certificate
+    # applies to deficit > 0 states too, intact or single-outage alike.
+    certified = eligible & best_ok
 
     # DOUBLE-branch-outage extension: exact rank-2 Woodbury flow update.
     # With outage set {k1, k2} and a = branch-transfer sensitivities,
@@ -382,23 +397,30 @@ def certify_states(sys: System, comp_down: jax.Array, load_pu: jax.Array,
     # f' = f + a[:,k1] c1 + a[:,k2] c2. A singular E means the pair
     # islands the network -> falls through to the LP.
     pair = n_out == 2
+    # Gather-free: one-hot selectors (an iota compare, elementwise) turn
+    # every per-lane row/column/element pick of br_transfer into shared
+    # MXU matmuls and masked reductions — no serialized TPU gathers.
     k1 = jnp.argmax(br_down, axis=1)
-    masked = br_down * (1.0 - jax.nn.one_hot(k1, br_down.shape[1], dtype=dt))
+    h1 = jax.nn.one_hot(k1, br_down.shape[1], dtype=dt)     # [B, nl]
+    masked = br_down * (1.0 - h1)
     k2 = jnp.argmax(masked, axis=1)
-    a11 = sys.br_transfer[k1, k1]
-    a12 = sys.br_transfer[k1, k2]
-    a21 = sys.br_transfer[k2, k1]
-    a22 = sys.br_transfer[k2, k2]
-    f1 = jnp.take_along_axis(flows, k1[:, None], axis=1)[:, 0]
-    f2 = jnp.take_along_axis(flows, k2[:, None], axis=1)[:, 0]
+    h2 = jax.nn.one_hot(k2, br_down.shape[1], dtype=dt)
+    row1 = h1 @ sys.br_transfer                  # [B, nl] = br_transfer[k1, :]
+    row2 = h2 @ sys.br_transfer
+    a11 = jnp.sum(row1 * h1, axis=1)             # br_transfer[k1, k1]
+    a12 = jnp.sum(row1 * h2, axis=1)
+    a21 = jnp.sum(row2 * h1, axis=1)
+    a22 = jnp.sum(row2 * h2, axis=1)
+    f1 = jnp.sum(flows * h1, axis=1)
+    f2 = jnp.sum(flows * h2, axis=1)
     e11, e12, e21, e22 = 1.0 - a11, -a12, -a21, 1.0 - a22
     det = e11 * e22 - e12 * e21
     nonsing = jnp.abs(det) > 1e-5
     safe_det = jnp.where(nonsing, det, 1.0)
     c1 = (e22 * f1 - e12 * f2) / safe_det
     c2 = (-e21 * f1 + e11 * f2) / safe_det
-    post2 = (flows + sys.br_transfer[:, k1].T * c1[:, None]
-             + sys.br_transfer[:, k2].T * c2[:, None])
+    # br_transfer[:, k1] * c1 + br_transfer[:, k2] * c2, as one matmul.
+    post2 = flows + (c1[:, None] * h1 + c2[:, None] * h2) @ sys.br_transfer.T
     post2 = post2 * (1.0 - br_down)
     pair_ok = (pair & nonsing
                & jnp.all(jnp.abs(post2) <= rate_ok, axis=1))
@@ -638,6 +660,7 @@ def evaluate_states_screened(sys: System, comp_down: jax.Array,
         comp_down, load_pu, extra_nodal = apply_island_blackout(
             sys, comp_down, load_pu)
         compat = dataclasses.replace(compat, island_blackout=False)
+
     pre = certify_states(sys, comp_down, load_pu)
     if nodal_mode == "proportional":
         need_lp = ~pre.certified

@@ -44,15 +44,17 @@ def default_max_lp(batch_per_device: int, nodal_mode: str = "lp",
     - "lp" nodal mode sends every positive-deficit state to the LP
       (~10% of RTS-24 peak states): 25% buffer.
     - "proportional" mode LP-solves only certificate-failing states
-      (~0.6% at RTS-24 peak): 6.25% buffer is ~10x the need and
-      measured ~30% faster end-to-end than 25%
-      (scripts/probe_bench_maxlp.py).
+      (~0.044% at RTS-24 peak since the post-outage repair extension):
+      1.56% buffer is ~35x the need — generous for harder cases/loads —
+      and the grow-and-redo loop still self-corrects if a case exceeds
+      it (scripts/probe_bench_maxlp.py history: 6.25% measured ~30%
+      faster than 25%; 0.1% another ~2x on the bench step).
     - Importance sampling boosts the multi-outage rate: 50% buffer.
     """
     if is_boost > 1.0:
         frac = 2
     elif nodal_mode == "proportional":
-        frac = 16
+        frac = 64
     else:
         frac = 4
     return max(batch_per_device // frac, 16)

@@ -338,3 +338,52 @@ def test_nan_lane_degrades_not_propagates(sys24):
     # Either the lane solved (matches oracle) or it degraded to the
     # copper-sheet LOWER bound (<= oracle, never an overestimate).
     assert dns <= ref + 0.05
+
+
+def test_post_outage_repair_certifies_n1_lanes(sys24):
+    """The repair descent operates on LODF-corrected post-outage flows, so
+    it certifies single-line-outage lanes whose FIRST candidate congests
+    the reduced network (previously ~90% of LP-routed lanes at peak).
+    Every lane it newly certifies must carry a provably optimal value:
+    deficit == f64 LP optimum, and the certificate's shed/dispatch pattern
+    must be feasible on the reduced network (balanced + within rates)."""
+    from powersystemsreliabilityassessment_tpu.sampling.state import (
+        sample_states)
+    ng = sys24.n_gen
+    # Production state distribution at peak load (pure N-1 on an
+    # otherwise-intact fleet never congests RTS-24; the repair-worthy
+    # lanes are gen-outage + single-line-outage combinations).
+    down = sample_states(jax.random.key(42), sys24.unavail,
+                         sys24.always_up_nsq, 16384)
+    load = jnp.broadcast_to(sys24.load_pd[None, :],
+                            (down.shape[0], sys24.n_load))
+    quick = dcopf.certify_states(sys24, down, load, repair_iters=0)
+    full = dcopf.certify_states(sys24, down, load, repair_iters=3)
+    n_line_out = np.asarray(jnp.sum(down[:, ng:], axis=1))
+    rescued = np.asarray(full.certified & ~quick.certified) \
+        & (n_line_out == 1)
+    assert rescued.any(), "expected repair to rescue some N-1 lanes"
+    downs = np.asarray(down)
+
+    ptdf = np.asarray(sys24.ptdf, np.float64)
+    lodf = np.asarray(sys24.lodf, np.float64)
+    cg = np.asarray(sys24.gen_bus_onehot, np.float64)
+    cd = np.asarray(sys24.load_onehot, np.float64)
+    rate = np.asarray(sys24.br_rate, np.float64)
+    for i in np.where(rescued)[0][:12]:
+        ref = scipy_dns(sys24, downs[i], np.asarray(load)[i])
+        assert float(full.deficit[i]) * sys24.base_mva == pytest.approx(
+            ref, abs=0.05)
+        # post-outage feasibility of the certificate's pattern (f64)
+        shed = np.asarray(full.shed[i], np.float64)
+        disp = np.asarray(full.dispatch[i], np.float64)
+        inj = cg @ disp + cd @ shed - cd @ np.asarray(load, np.float64)[i]
+        assert abs(inj.sum()) < 1e-4  # balanced
+        k = int(np.argmax(downs[i][ng:]))
+        if np.abs(lodf[:, k]).max() > 1e5:
+            continue  # islanding line: sentinel column, covered by the
+            #           scipy optimum equality above
+        f0 = ptdf @ inj
+        post = f0 + lodf[:, k] * f0[k]
+        post[k] = 0.0
+        assert np.all(np.abs(post) <= rate + 5e-4)

@@ -306,10 +306,11 @@ def test_default_max_lp_mode_aware():
     from powersystemsreliabilityassessment_tpu.studies.hl2_nsq import (
         default_max_lp)
     # "lp" mode sends every deficit state to the LP (~10% of peak
-    # states); "proportional" only certificate failures (~0.6%) — its
-    # buffer must be correspondingly smaller (padding lanes are pure
-    # fused-IPM overhead; scripts/probe_bench_maxlp.py).
+    # states); "proportional" only certificate failures (~0.044% since
+    # the post-outage repair extension) — its buffer must be
+    # correspondingly smaller (padding lanes are pure fused-IPM
+    # overhead; scripts/probe_bench_maxlp.py).
     assert default_max_lp(4096, "lp") == 1024
-    assert default_max_lp(4096, "proportional") == 256
+    assert default_max_lp(4096, "proportional") == 64
     assert default_max_lp(4096, "proportional", is_boost=4.0) == 2048
     assert default_max_lp(8, "proportional") == 16   # floor
