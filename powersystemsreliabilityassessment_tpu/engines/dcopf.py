@@ -661,6 +661,13 @@ def evaluate_states_screened(sys: System, comp_down: jax.Array,
             sys, comp_down, load_pu)
         compat = dataclasses.replace(compat, island_blackout=False)
 
+    # Tier 1 stays on the jnp/XLA path on ALL backends: a fully fused
+    # Pallas version exists (ops/certify_kernel.py, bit-close parity)
+    # but measured 2.3x SLOWER on hardware — the certificate's matmuls
+    # have K,N <= n_branch, so inside a kernel each one pads to full
+    # 128x128 MXU passes, while XLA lowers this graph to something
+    # merely bandwidth-bound (~5.9 ms at B=262144). See the kernel's
+    # docstring for the measurement.
     pre = certify_states(sys, comp_down, load_pu)
     if nodal_mode == "proportional":
         need_lp = ~pre.certified
