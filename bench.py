@@ -61,7 +61,8 @@ def main() -> None:
         down = sample_states(key, sys.unavail, sys.always_up_nsq, batch)
         load = jnp.broadcast_to(sys.load_pd[None, :], (batch, sys.n_load))
         res, n_over = dcopf.evaluate_states_screened(
-            sys, down, load, max_lp, compat, ipm, "proportional")
+            sys, down, load, max_lp, compat, ipm, "proportional",
+            repair_buffer=dcopf.default_repair_buffer(batch))
         return (jnp.sum(res.dns_mw), jnp.sum(res.failure), n_over)
 
     # Warm-up / compile.

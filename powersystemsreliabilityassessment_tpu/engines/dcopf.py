@@ -252,7 +252,8 @@ def _rebalance_shed(cand: jax.Array, caps: jax.Array,
 
 def certify_states(sys: System, comp_down: jax.Array, load_pu: jax.Array,
                    shed_hint: jax.Array | None = None,
-                   repair_iters: int = 3) -> Certificate:
+                   repair_iters: int = 3,
+                   repair_buffer: int | None = None) -> Certificate:
     """Tier-1 exact bound certificate (batch).
 
     For states with no branch outage: DNS >= deficit = max(0, load - cap).
@@ -269,6 +270,21 @@ def certify_states(sys: System, comp_down: jax.Array, load_pu: jax.Array,
 
     ``repair_iters=0`` skips the flow-repair descent (first candidate +
     post-outage checks only; used by profiling scripts).
+
+    ``repair_buffer`` (static): when set, the repair descent runs only on
+    a top_k-compacted buffer of that many lanes instead of the full
+    batch. In the plain-MC regime only ~0.4% of RTS-24 peak lanes fail
+    the first flow check, so full-batch repair is ~2/3 of the whole
+    certificate's cost for nothing — compaction removes it while giving
+    BIT-IDENTICAL results as long as the buffer covers the needy lanes
+    (row gathers are exact; the per-lane math is unchanged; pinned by
+    test_lp_dcopf.py::test_certify_repair_buffer_exact). If needy lanes
+    exceed the buffer, the excess lanes simply stay uncertified and fall
+    to the LP — the existing max_lp overflow accounting is the safety
+    net. ``None`` (default) keeps full-batch repair: REQUIRED for
+    dense-outage regimes (contingency enumeration, is_boost importance
+    sampling) where the needy fraction is not small — use
+    ``default_repair_buffer`` for the policy.
     """
     ng = sys.n_gen
     dt = sys.bus_pd.dtype
@@ -349,42 +365,78 @@ def certify_states(sys: System, comp_down: jax.Array, load_pu: jax.Array,
     ptdf_gen = sys.ptdf @ sys.gen_bus_onehot              # [nl, ng]
     gen_cap = sys.gen_pmax[None, :] * gen_up              # [B, ng]
 
-    def flows_full(disp, shed):
-        inj = (disp @ sys.gen_bus_onehot.T + shed @ sys.load_onehot.T
-               - load_pu @ sys.load_onehot.T)
-        return inj @ sys.ptdf.T
+    def repair_loop(lp_, cand_, disp_, gcap_, brd_, served_, deficit_,
+                    post0_, ok0_):
+        """The descent, parameterized over the (possibly compacted) lane
+        set. Per-lane math is identical in both modes; the full-batch
+        mode passes the whole batch through."""
+        load_bus_ = lp_ @ sys.load_onehot.T
 
-    best_shed, best_disp = cand, dispatch
-    cur_shed, cur_disp, cur_post = cand, dispatch, post_flows(flows)
-    for _ in range(repair_iters):
-        over = jnp.maximum(jnp.abs(cur_post) - sys.br_rate[None, :], 0.0)
-        sgn_over = jnp.sign(cur_post) * over
-        w = sgn_over + br_down * (sgn_over @ sys.lodf)    # [B, nl]
-        # dispatch adjustment (scaled to the larger of the two totals)
-        grad_g = w @ ptdf_gen                             # [B, ng]
-        grad_g = grad_g - jnp.mean(grad_g, axis=1, keepdims=True)
-        step_g = (jnp.sum(over, axis=1) / jnp.maximum(
-            jnp.max(jnp.abs(grad_g), axis=1), 1e-9))[:, None]
-        disp_t = jnp.clip(cur_disp - step_g * grad_g, 0.0, gen_cap)
-        disp_t = _rebalance_shed(disp_t, gen_cap, served)
-        # shed adjustment
-        grad = w @ ptdf_load                              # [B, nd]
-        grad = grad - jnp.mean(grad, axis=1, keepdims=True)
-        step_sz = (deficit / jnp.maximum(
-            jnp.max(jnp.abs(grad), axis=1), 1e-9))[:, None]
-        trial = jnp.clip(cur_shed - step_sz * grad, 0.0, load_pu)
-        trial = _rebalance_shed(trial, load_pu, deficit)
-        post_t = post_flows(flows_full(disp_t, trial))
-        ok_trial = jnp.all(jnp.abs(post_t) <= rate_ok, axis=1)
-        # the rank-1-corrected check is exact only for n_out <= 1 lanes
-        newly = ~best_ok & ok_trial & eligible
-        best_shed = jnp.where(newly[:, None], trial, best_shed)
-        best_disp = jnp.where(newly[:, None], disp_t, best_disp)
-        best_ok = best_ok | ok_trial
-        cur_shed, cur_disp, cur_post = trial, disp_t, post_t
+        def flows_full_(disp, shed):
+            inj = (disp @ sys.gen_bus_onehot.T + shed @ sys.load_onehot.T
+                   - load_bus_)
+            return inj @ sys.ptdf.T
 
-    cand = best_shed
-    dispatch = best_disp
+        def post_flows_(f):
+            return (f + (brd_ * f) @ sys.lodf.T) * (1.0 - brd_)
+
+        best_ok_, best_shed_, best_disp_ = ok0_, cand_, disp_
+        cur_shed, cur_disp, cur_post = cand_, disp_, post0_
+        elig_ = jnp.sum(brd_, axis=1) <= 1
+        for _ in range(repair_iters):
+            over = jnp.maximum(jnp.abs(cur_post) - sys.br_rate[None, :], 0.0)
+            sgn_over = jnp.sign(cur_post) * over
+            w = sgn_over + brd_ * (sgn_over @ sys.lodf)   # [*, nl]
+            # dispatch adjustment (scaled to the larger of the two totals)
+            grad_g = w @ ptdf_gen                         # [*, ng]
+            grad_g = grad_g - jnp.mean(grad_g, axis=1, keepdims=True)
+            step_g = (jnp.sum(over, axis=1) / jnp.maximum(
+                jnp.max(jnp.abs(grad_g), axis=1), 1e-9))[:, None]
+            disp_t = jnp.clip(cur_disp - step_g * grad_g, 0.0, gcap_)
+            disp_t = _rebalance_shed(disp_t, gcap_, served_)
+            # shed adjustment
+            grad = w @ ptdf_load                          # [*, nd]
+            grad = grad - jnp.mean(grad, axis=1, keepdims=True)
+            step_sz = (deficit_ / jnp.maximum(
+                jnp.max(jnp.abs(grad), axis=1), 1e-9))[:, None]
+            trial = jnp.clip(cur_shed - step_sz * grad, 0.0, lp_)
+            trial = _rebalance_shed(trial, lp_, deficit_)
+            post_t = post_flows_(flows_full_(disp_t, trial))
+            ok_trial = jnp.all(jnp.abs(post_t) <= rate_ok, axis=1)
+            # the rank-1-corrected check is exact only for n_out <= 1
+            newly = ~best_ok_ & ok_trial & elig_
+            best_shed_ = jnp.where(newly[:, None], trial, best_shed_)
+            best_disp_ = jnp.where(newly[:, None], disp_t, best_disp_)
+            best_ok_ = best_ok_ | ok_trial
+            cur_shed, cur_disp, cur_post = trial, disp_t, post_t
+        return best_ok_, best_shed_, best_disp_
+
+    if repair_iters > 0 and repair_buffer is not None:
+        # Compacted repair: only lanes that failed the first check AND
+        # are certificate-eligible enter the descent (same top_k
+        # compaction scheme as evaluate_states_screened's LP buffer).
+        B = comp_down.shape[0]
+        rbuf = min(int(repair_buffer), B)
+        need = (~best_ok) & eligible
+        score = need.astype(jnp.int32) * (2 * B) - np.arange(
+            B, dtype=np.int32)
+        _, ridx = jax.lax.top_k(score, rbuf)
+        rvalid = (np.arange(rbuf, dtype=np.int32) < jnp.sum(need)) \
+            & need[ridx]
+        okr, bshed_r, bdisp_r = repair_loop(
+            load_pu[ridx], cand[ridx], dispatch[ridx], gen_cap[ridx],
+            br_down[ridx], served[ridx], deficit[ridx],
+            post_flows(flows)[ridx], jnp.zeros((rbuf,), bool))
+        upd = rvalid & okr
+        best_ok = best_ok.at[ridx].set(best_ok[ridx] | upd)
+        cand = cand.at[ridx].set(
+            jnp.where(upd[:, None], bshed_r, cand[ridx]))
+        dispatch = dispatch.at[ridx].set(
+            jnp.where(upd[:, None], bdisp_r, dispatch[ridx]))
+    elif repair_iters > 0:
+        best_ok, cand, dispatch = repair_loop(
+            load_pu, cand, dispatch, gen_cap, br_down, served, deficit,
+            post_flows(flows), best_ok)
     # The copper-sheet deficit remains a valid lower bound on any reduced
     # network (removing a line never adds capacity), and the candidate
     # achieves it with feasible post-outage flows — so the certificate
@@ -626,12 +678,32 @@ def evaluate_states(sys: System, comp_down: jax.Array, load_pu: jax.Array,
     return out
 
 
-@partial(jax.jit, static_argnames=("compat", "ipm", "max_lp", "nodal_mode"))
+def default_repair_buffer(batch: int,
+                          outage_boost: float = 1.0) -> int | None:
+    """Compacted-repair buffer policy for ``certify_states``.
+
+    Plain-MC regime: ~0.4% of RTS-24 peak lanes fail the first
+    post-outage flow check (max observed need ~1.1k of 262144), so
+    ``max(2048, batch // 64)`` leaves huge headroom while cutting the
+    repair descent from O(batch) to O(buffer). Dense-outage regimes
+    (``outage_boost > 1`` importance sampling; contingency enumeration
+    calls keep the ``None`` default directly) must repair full-batch —
+    their needy fraction is not small, and overflowed lanes would all
+    fall to the LP buffer instead.
+    """
+    if outage_boost > 1.0:
+        return None
+    return min(batch, max(2048, batch // 64))
+
+
+@partial(jax.jit, static_argnames=("compat", "ipm", "max_lp", "nodal_mode",
+                                   "repair_buffer"))
 def evaluate_states_screened(sys: System, comp_down: jax.Array,
                              load_pu: jax.Array, max_lp: int,
                              compat: CompatFlags = CompatFlags(),
                              ipm: IPMConfig = IPMConfig(),
-                             nodal_mode: str = "lp"):
+                             nodal_mode: str = "lp",
+                             repair_buffer: int | None = None):
     """Screened evaluation: run the LP only on states that need it.
 
     States certified at ZERO deficit are resolved by Tier 1 alone; states
@@ -653,6 +725,10 @@ def evaluate_states_screened(sys: System, comp_down: jax.Array,
     that needed the LP but did not fit in the buffer (they fall back to the
     Tier-1 bound with a load-proportional nodal pattern — statistically a
     tiny, logged perturbation; pick ``max_lp`` so this is ~never hit).
+
+    ``repair_buffer`` (static) is forwarded to ``certify_states``:
+    compacted certificate repair for sparse-outage (plain-MC) regimes —
+    see ``default_repair_buffer``. ``None`` keeps full-batch repair.
     """
     B = comp_down.shape[0]
     extra_nodal = None
@@ -668,7 +744,8 @@ def evaluate_states_screened(sys: System, comp_down: jax.Array,
     # 128x128 MXU passes, while XLA lowers this graph to something
     # merely bandwidth-bound (~5.9 ms at B=262144). See the kernel's
     # docstring for the measurement.
-    pre = certify_states(sys, comp_down, load_pu)
+    pre = certify_states(sys, comp_down, load_pu,
+                         repair_buffer=repair_buffer)
     if nodal_mode == "proportional":
         need_lp = ~pre.certified
     else:

@@ -109,7 +109,9 @@ def make_nsq_batch_step(sys: System, mesh: Mesh, batch_per_device: int,
         load = jnp.broadcast_to(sys.load_pd[None, :],
                                 (batch_per_device, sys.n_load))
         res, n_over = dcopf.evaluate_states_screened(
-            sys, down, load, max_lp, compat, ipm, nodal_mode)
+            sys, down, load, max_lp, compat, ipm, nodal_mode,
+            repair_buffer=dcopf.default_repair_buffer(
+                batch_per_device, max(is_boost, 1.0)))
         if enum_order > 0:
             # Tail mask: low-order states are counted exactly by the
             # enumeration pre-pass; only #down > enum_order contributes

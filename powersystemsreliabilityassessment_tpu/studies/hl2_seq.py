@@ -70,9 +70,16 @@ def _years_eval(sys: System, compat: CompatFlags, ipm: IPMConfig,
         down_h = down_h | maint_down[None]
     load_h = factors[:, None] * sys.load_pd[None, :]      # [H, nd]
 
+    # Compacted certificate repair: chronological outages cluster (one
+    # long line repair can contribute ~800 consecutive needy hours), so
+    # the buffer is sized batch//16 — far above the bursts observed —
+    # rather than the NSQ policy's batch//64. Overflow only routes the
+    # excess lanes to the LP buffer, which this study already grows
+    # adaptively on overflow.
     res, n_over = dcopf.evaluate_states_screened(
         sys, down_h.reshape(Y * hours, -1),
-        jnp.tile(load_h, (Y, 1)), max_lp, compat, ipm, nodal_mode)
+        jnp.tile(load_h, (Y, 1)), max_lp, compat, ipm, nodal_mode,
+        repair_buffer=max(4096, (Y * hours) // 16))
 
     dns = res.dns_mw.reshape(Y, hours)
     flag = dns > compat.seq_curtail_threshold_mw          # [Y, H]

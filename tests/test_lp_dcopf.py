@@ -387,3 +387,63 @@ def test_post_outage_repair_certifies_n1_lanes(sys24):
         post = f0 + lodf[:, k] * f0[k]
         post[k] = 0.0
         assert np.all(np.abs(post) <= rate + 5e-4)
+
+
+def test_certify_repair_buffer_exact(sys24):
+    """Compacted repair (``repair_buffer``) is BIT-IDENTICAL to
+    full-batch repair when the buffer covers the needy lanes, and
+    degrades safely (certified set only shrinks; totals untouched) when
+    it cannot."""
+    from powersystemsreliabilityassessment_tpu.sampling.state import (
+        sample_states)
+    down = sample_states(jax.random.key(43), sys24.unavail,
+                         sys24.always_up_nsq, 16384)
+    load = jnp.broadcast_to(sys24.load_pd[None, :],
+                            (down.shape[0], sys24.n_load))
+    full = dcopf.certify_states(sys24, down, load)
+    comp = dcopf.certify_states(sys24, down, load, repair_buffer=2048)
+    assert (np.asarray(full.certified) == np.asarray(comp.certified)).all()
+    assert (np.asarray(full.deficit) == np.asarray(comp.deficit)).all()
+    assert (np.asarray(full.shed) == np.asarray(comp.shed)).all()
+    assert (np.asarray(full.dispatch) == np.asarray(comp.dispatch)).all()
+    # repair actually mattered on this batch (the equality is not vacuous)
+    quick = dcopf.certify_states(sys24, down, load, repair_iters=0)
+    assert (np.asarray(full.certified) & ~np.asarray(quick.certified)).any()
+
+    # overflowing buffer: un-repaired lanes stay uncertified (subset),
+    # deficit (the exact bound) is unaffected
+    tiny = dcopf.certify_states(sys24, down, load, repair_buffer=1)
+    ct, cf = np.asarray(tiny.certified), np.asarray(full.certified)
+    assert not (ct & ~cf).any()
+    assert (np.asarray(tiny.deficit) == np.asarray(full.deficit)).all()
+
+
+def test_screened_repair_buffer_invariant(sys24):
+    """The screened evaluator returns identical results with and without
+    compacted repair (the un-repaired -> LP route resolves the same
+    states the certificate would have)."""
+    from powersystemsreliabilityassessment_tpu.sampling.state import (
+        sample_states)
+    compat, ipm = CompatFlags(), IPMConfig()
+    down = sample_states(jax.random.key(44), sys24.unavail,
+                         sys24.always_up_nsq, 4096)
+    load = jnp.broadcast_to(sys24.load_pd[None, :],
+                            (down.shape[0], sys24.n_load))
+    res_a, over_a = dcopf.evaluate_states_screened(
+        sys24, down, load, 256, compat, ipm, "proportional")
+    res_b, over_b = dcopf.evaluate_states_screened(
+        sys24, down, load, 256, compat, ipm, "proportional",
+        repair_buffer=dcopf.default_repair_buffer(4096))
+    assert int(over_a) == 0 and int(over_b) == 0
+    np.testing.assert_array_equal(np.asarray(res_a.dns_mw),
+                                  np.asarray(res_b.dns_mw))
+    np.testing.assert_array_equal(np.asarray(res_a.nodal_mw),
+                                  np.asarray(res_b.nodal_mw))
+    np.testing.assert_array_equal(np.asarray(res_a.failure),
+                                  np.asarray(res_b.failure))
+
+
+def test_default_repair_buffer_policy():
+    assert dcopf.default_repair_buffer(262144) == 4096
+    assert dcopf.default_repair_buffer(1024) == 1024
+    assert dcopf.default_repair_buffer(262144, outage_boost=8.0) is None
