@@ -20,9 +20,10 @@ import jax
 import jax.numpy as jnp
 
 
-@partial(jax.jit, static_argnames=("batch", "antithetic"))
+@partial(jax.jit, static_argnames=("batch", "antithetic", "rng_impl"))
 def sample_states(key: jax.Array, unavail: jax.Array, always_up: jax.Array,
-                  batch: int, antithetic: bool = False) -> jax.Array:
+                  batch: int, antithetic: bool = False,
+                  rng_impl: str = "threefry") -> jax.Array:
     """Draw a batch of component failure indicators (1 = failed).
 
     Args:
@@ -31,10 +32,22 @@ def sample_states(key: jax.Array, unavail: jax.Array, always_up: jax.Array,
         (mc_sampling.m:40-41 pins the synchronous condenser).
       antithetic: if True, the second half of the batch uses 1-u of the
         first half's uniforms (variance reduction for the scale-up config).
+      rng_impl: "threefry" (default; counter-based, the reproducibility
+        contract — same seed, same states on every backend) or "hw" (the
+        TPU core's hardware PRNG via a Pallas kernel; same Bernoulli
+        distribution, different stream; falls back to threefry off-TPU).
+        NOTE: "hw" measured SLOWER in the full production step — the
+        Pallas call is a fusion barrier; see ops/hw_sampler.py for the
+        A/B. Kept for workloads that consume raw state batches.
 
     Returns: bool [batch, n_comp].
     """
     n = unavail.shape[0]
+    if rng_impl == "hw" and not antithetic:
+        from ..ops import hw_sampler
+        if hw_sampler.available():
+            return hw_sampler.sample_states_hw(key, unavail, always_up,
+                                               batch)
     if antithetic:
         half = (batch + 1) // 2
         u = jax.random.uniform(key, (half, n))

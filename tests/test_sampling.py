@@ -24,6 +24,27 @@ class TestBernoulli:
         down = state.sample_states(jax.random.key(1), u, always, 500)
         assert not bool(down[:, 14].any())  # mc_sampling.m:40-41 semantics
 
+    def test_hw_impl_falls_back_to_threefry_off_tpu(self):
+        # rng_impl="hw" must be a pure throughput substitution: off-TPU
+        # (this CPU mesh) it routes to the threefry path bit-identically.
+        u = jnp.asarray(twostate.unavailability(cases.rts24()), jnp.float32)
+        always = jnp.zeros(71, bool).at[10].set(True)
+        a = state.sample_states(jax.random.key(3), u, always, 256)
+        b = state.sample_states(jax.random.key(3), u, always, 256,
+                                rng_impl="hw")
+        assert (np.asarray(a) == np.asarray(b)).all()
+
+    def test_hw_thresholds_exact(self):
+        from powersystemsreliabilityassessment_tpu.ops import hw_sampler
+        u = jnp.asarray([0.0, 0.02, 0.5, 1.0, 1e-9], jnp.float32)
+        always = jnp.asarray([False, False, False, False, True])
+        t = np.asarray(hw_sampler.bernoulli_thresholds(u, always, 128))
+        assert t.shape == (1, 128)
+        # P(draw < t) = t / 2^24 must equal U to the 2^-24 quantum.
+        np.testing.assert_array_equal(
+            t[0, :5], [0, round(0.02 * 2**24), 2**23, 2**24, 0])
+        assert (t[0, 5:] == 0).all()  # padding can never fail
+
     def test_antithetic_pairs(self):
         u = jnp.full((4,), 0.5, jnp.float32)
         always = jnp.zeros(4, bool)
