@@ -250,10 +250,36 @@ def _rebalance_shed(cand: jax.Array, caps: jax.Array,
                      jnp.minimum(up, caps))
 
 
+def _unrolled_det(E: list[list]) -> jax.Array:
+    """Determinant of a k x k matrix given as lists of [B] arrays —
+    compile-time Laplace expansion (k <= 4: at most 24 products), all
+    elementwise VPU code. No batched LU, no per-lane pivoting/gathers."""
+    k = len(E)
+    if k == 1:
+        return E[0][0]
+    det = None
+    for j in range(k):
+        minor = [[E[r][c] for c in range(k) if c != j]
+                 for r in range(1, k)]
+        term = E[0][j] * _unrolled_det(minor)
+        term = term if j % 2 == 0 else -term
+        det = term if det is None else det + term
+    return det
+
+
+def _cramer_solve(E: list[list], f: list, safe_det: jax.Array) -> list:
+    """Solve E c = f by Cramer's rule (unrolled; k <= 4)."""
+    k = len(E)
+    return [_unrolled_det([[f[r] if c == i else E[r][c]
+                            for c in range(k)] for r in range(k)])
+            / safe_det for i in range(k)]
+
+
 def certify_states(sys: System, comp_down: jax.Array, load_pu: jax.Array,
                    shed_hint: jax.Array | None = None,
                    repair_iters: int = 3,
-                   repair_buffer: int | None = None) -> Certificate:
+                   repair_buffer: int | None = None,
+                   woodbury_k: int = 2) -> Certificate:
     """Tier-1 exact bound certificate (batch).
 
     For states with no branch outage: DNS >= deficit = max(0, load - cap).
@@ -264,9 +290,18 @@ def certify_states(sys: System, comp_down: jax.Array, load_pu: jax.Array,
 
     For states with ONE outaged branch the same candidate is checked (and
     repaired) against the exact rank-1 LODF post-outage flows, and for
-    two outages against the exact rank-2 Woodbury update — so the
-    certificate covers intact, N-1 and N-2 topologies; deeper outages and
-    islanding patterns fall through to the LP.
+    2..``woodbury_k`` outages against the exact rank-k Woodbury update —
+    so the certificate covers intact, N-1 and up to N-``woodbury_k``
+    topologies; deeper outages and islanding patterns fall through to
+    the LP. The default rank 2 is right for RTS-24-sized systems (>= 3
+    simultaneous branch outages are ~6e-7 of samples, and each extra
+    rank costs one [B, nl] @ [nl, nl] selector matmul on the HBM-bound
+    hot path); at case300-scale ~3% of sampled states carry >= 3 branch
+    outages and ``woodbury_k=4`` closes that miss class (every probed
+    rank-2 miss was a benign zero-shed state — certified fraction
+    96.6% -> 99.45%, results/case300_cert_breakdown.json +
+    results/woodbury4.json). Studies resolve the rank per system via
+    ``hl2_nsq.default_woodbury_k``.
 
     ``repair_iters=0`` skips the flow-repair descent (first candidate +
     post-outage checks only; used by profiling scripts).
@@ -443,40 +478,43 @@ def certify_states(sys: System, comp_down: jax.Array, load_pu: jax.Array,
     # applies to deficit > 0 states too, intact or single-outage alike.
     certified = eligible & best_ok
 
-    # DOUBLE-branch-outage extension: exact rank-2 Woodbury flow update.
-    # With outage set {k1, k2} and a = branch-transfer sensitivities,
-    # solve the 2x2 system E c = [f_k1, f_k2], E = I - a[{k},{k}]; then
-    # f' = f + a[:,k1] c1 + a[:,k2] c2. A singular E means the pair
-    # islands the network -> falls through to the LP.
-    pair = n_out == 2
+    # MULTI-branch-outage extension: exact rank-k Woodbury flow update
+    # for outage sets of size 2..woodbury_k. With outage set K and
+    # a = branch-transfer sensitivities, solve (I - a[K, K]) c = f_K,
+    # then f' = f + a[:, K] c — exact unless removing K islands the
+    # network (singular E -> falls through to the LP).
     # Gather-free: one-hot selectors (an iota compare, elementwise) turn
     # every per-lane row/column/element pick of br_transfer into shared
-    # MXU matmuls and masked reductions — no serialized TPU gathers.
-    k1 = jnp.argmax(br_down, axis=1)
-    h1 = jax.nn.one_hot(k1, br_down.shape[1], dtype=dt)     # [B, nl]
-    masked = br_down * (1.0 - h1)
-    k2 = jnp.argmax(masked, axis=1)
-    h2 = jax.nn.one_hot(k2, br_down.shape[1], dtype=dt)
-    row1 = h1 @ sys.br_transfer                  # [B, nl] = br_transfer[k1, :]
-    row2 = h2 @ sys.br_transfer
-    a11 = jnp.sum(row1 * h1, axis=1)             # br_transfer[k1, k1]
-    a12 = jnp.sum(row1 * h2, axis=1)
-    a21 = jnp.sum(row2 * h1, axis=1)
-    a22 = jnp.sum(row2 * h2, axis=1)
-    f1 = jnp.sum(flows * h1, axis=1)
-    f2 = jnp.sum(flows * h2, axis=1)
-    e11, e12, e21, e22 = 1.0 - a11, -a12, -a21, 1.0 - a22
-    det = e11 * e22 - e12 * e21
+    # MXU matmuls and masked reductions — no serialized TPU gathers —
+    # and the k x k solve is an unrolled Cramer expansion (elementwise
+    # VPU code). Unused selector slots (n_out < k) have h_i = 0, which
+    # reduces E to an identity-padded block and c_i to 0 exactly.
+    kk = int(woodbury_k)
+    multi = (n_out >= 2) & (n_out <= kk)
+    rem = br_down
+    hs, fk, rows = [], [], []
+    for _ in range(kk):
+        ki = jnp.argmax(rem, axis=1)
+        vi = jnp.max(rem, axis=1)                    # 1.0 iff a slot used
+        hi = jax.nn.one_hot(ki, br_down.shape[1], dtype=dt) * vi[:, None]
+        rem = rem * (1.0 - hi)
+        hs.append(hi)
+        rows.append(hi @ sys.br_transfer)            # br_transfer[k_i, :]
+        fk.append(jnp.sum(flows * hi, axis=1))
+    E = [[(1.0 if i == j else 0.0) - jnp.sum(rows[i] * hs[j], axis=1)
+          for j in range(kk)] for i in range(kk)]
+    det = _unrolled_det(E)
     nonsing = jnp.abs(det) > 1e-5
     safe_det = jnp.where(nonsing, det, 1.0)
-    c1 = (e22 * f1 - e12 * f2) / safe_det
-    c2 = (-e21 * f1 + e11 * f2) / safe_det
-    # br_transfer[:, k1] * c1 + br_transfer[:, k2] * c2, as one matmul.
-    post2 = flows + (c1[:, None] * h1 + c2[:, None] * h2) @ sys.br_transfer.T
-    post2 = post2 * (1.0 - br_down)
-    pair_ok = (pair & nonsing
-               & jnp.all(jnp.abs(post2) <= rate_ok, axis=1))
-    certified = certified | pair_ok
+    cs = _cramer_solve(E, fk, safe_det)
+    # sum_i br_transfer[:, k_i] * c_i, as one matmul.
+    corr = cs[0][:, None] * hs[0]
+    for ci, hi in zip(cs[1:], hs[1:]):
+        corr = corr + ci[:, None] * hi
+    post_m = (flows + corr @ sys.br_transfer.T) * (1.0 - br_down)
+    multi_ok = (multi & nonsing
+                & jnp.all(jnp.abs(post_m) <= rate_ok, axis=1))
+    certified = certified | multi_ok
 
     return Certificate(certified=certified, deficit=deficit,
                        shed=cand, dispatch=dispatch)
@@ -612,9 +650,10 @@ def _solve_batch(sys: System, comp_down: jax.Array, load_pu: jax.Array,
 
 
 def _finalize(sys: System, compat: CompatFlags, shed, pg, res, comp_down,
-              load_pu) -> EvalResult:
+              load_pu, woodbury_k: int = 2) -> EvalResult:
     """Apply the exactness certificate and the reference noise thresholds."""
-    cert = certify_states(sys, comp_down, load_pu, shed_hint=shed)
+    cert = certify_states(sys, comp_down, load_pu, shed_hint=shed,
+                          woodbury_k=woodbury_k)
     shed = jnp.where(cert.certified[:, None], cert.shed, shed)
     pg = jnp.where(cert.certified[:, None], cert.dispatch, pg)
 
@@ -648,10 +687,11 @@ def _finalize(sys: System, compat: CompatFlags, shed, pg, res, comp_down,
                                                     compat))
 
 
-@partial(jax.jit, static_argnames=("compat", "ipm"))
+@partial(jax.jit, static_argnames=("compat", "ipm", "woodbury_k"))
 def evaluate_states(sys: System, comp_down: jax.Array, load_pu: jax.Array,
                     compat: CompatFlags = CompatFlags(),
-                    ipm: IPMConfig = IPMConfig()) -> EvalResult:
+                    ipm: IPMConfig = IPMConfig(),
+                    woodbury_k: int = 2) -> EvalResult:
     """Evaluate a batch of states: IPM on every lane + certificate override.
 
     Args:
@@ -667,7 +707,8 @@ def evaluate_states(sys: System, comp_down: jax.Array, load_pu: jax.Array,
         comp_down, load_pu, extra_nodal = apply_island_blackout(
             sys, comp_down, load_pu)
     shed, pg, res = _solve_batch(sys, comp_down, load_pu, compat, ipm)
-    out = _finalize(sys, compat, shed, pg, res, comp_down, load_pu)
+    out = _finalize(sys, compat, shed, pg, res, comp_down, load_pu,
+                    woodbury_k)
     if extra_nodal is not None:
         dns = out.dns_mw + jnp.sum(extra_nodal, axis=1)
         nodal = out.nodal_mw + extra_nodal
@@ -697,13 +738,14 @@ def default_repair_buffer(batch: int,
 
 
 @partial(jax.jit, static_argnames=("compat", "ipm", "max_lp", "nodal_mode",
-                                   "repair_buffer"))
+                                   "repair_buffer", "woodbury_k"))
 def evaluate_states_screened(sys: System, comp_down: jax.Array,
                              load_pu: jax.Array, max_lp: int,
                              compat: CompatFlags = CompatFlags(),
                              ipm: IPMConfig = IPMConfig(),
                              nodal_mode: str = "lp",
-                             repair_buffer: int | None = None):
+                             repair_buffer: int | None = None,
+                             woodbury_k: int = 2):
     """Screened evaluation: run the LP only on states that need it.
 
     States certified at ZERO deficit are resolved by Tier 1 alone; states
@@ -745,7 +787,8 @@ def evaluate_states_screened(sys: System, comp_down: jax.Array,
     # merely bandwidth-bound (~5.9 ms at B=262144). See the kernel's
     # docstring for the measurement.
     pre = certify_states(sys, comp_down, load_pu,
-                         repair_buffer=repair_buffer)
+                         repair_buffer=repair_buffer,
+                         woodbury_k=woodbury_k)
     if nodal_mode == "proportional":
         need_lp = ~pre.certified
     else:
@@ -785,7 +828,8 @@ def evaluate_states_screened(sys: System, comp_down: jax.Array,
     valid = (np.arange(max_lp, dtype=np.int32) < jnp.sum(need_lp)) \
         & need_lp[idx]
 
-    sub_res = evaluate_states(sys, comp_down[idx], load_pu[idx], compat, ipm)
+    sub_res = evaluate_states(sys, comp_down[idx], load_pu[idx], compat, ipm,
+                              woodbury_k)
 
     base = sys.base_mva
     # Tier-1 fallback for every lane (exact for certified lanes; the best

@@ -72,19 +72,21 @@ def main():
     ap.add_argument("--out", default="results/case300_parity.json")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--skip-oracle", action="store_true")
+    ap.add_argument("--restarts", type=int, default=None,
+                    help="IPMConfig.restarts override (None = size default)")
     args = ap.parse_args()
 
     case = cases.case300s()
     sys_ = build_system(case)
     ng, nd = case.n_gen, int(sys_.n_load)
     compat = CompatFlags()
-    ipm = IPMConfig()
+    ipm = IPMConfig(restarts=args.restarts)
     states = make_states(case)
     B = states.shape[0]
     load = jnp.broadcast_to(jnp.asarray(sys_.load_pd), (B, nd))
 
     t0 = time.time()
-    res = dcopf.evaluate_states(sys_, jnp.asarray(states), load)
+    res = dcopf.evaluate_states(sys_, jnp.asarray(states), load, compat, ipm)
     jax.block_until_ready(res.dns_mw)
     t_compile_and_run = time.time() - t0
     dns = np.asarray(res.dns_mw, np.float64)

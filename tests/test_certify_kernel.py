@@ -33,7 +33,10 @@ def _boosted_states(sys_, key, batch, boost=40.0):
 def test_fused_matches_jnp_on_boosted_batch(sys24):
     down = _boosted_states(sys24, jax.random.key(7), 1024)
     load = jnp.broadcast_to(sys24.load_pd[None, :], (1024, sys24.n_load))
-    ref = dcopf.certify_states(sys24, down, load)
+    # The fused kernel implements the rank-2 (pair) Woodbury only; pin
+    # the jnp reference to woodbury_k=2 (the default today, but the pin
+    # keeps the match exact if the default ever changes).
+    ref = dcopf.certify_states(sys24, down, load, woodbury_k=2)
     new = certify_kernel.certify_states_fused(sys24, down, load)
 
     ca, cb = np.asarray(ref.certified), np.asarray(new.certified)
@@ -87,7 +90,7 @@ def test_fused_padding_path(sys24):
     B = certify_kernel.TILE + 17
     down = _boosted_states(sys24, jax.random.key(3), B, boost=25.0)
     load = jnp.broadcast_to(sys24.load_pd[None, :], (B, sys24.n_load))
-    ref = dcopf.certify_states(sys24, down, load)
+    ref = dcopf.certify_states(sys24, down, load, woodbury_k=2)
     new = certify_kernel.certify_states_fused(sys24, down, load)
     assert np.asarray(new.certified).shape == (B,)
     assert (np.asarray(ref.certified) == np.asarray(new.certified)).all()
@@ -101,7 +104,7 @@ def test_fused_multiarea_case(sys24):
     sys96 = build_system(cases.rts96(), CompatFlags())
     down = _boosted_states(sys96, jax.random.key(5), 256, boost=10.0)
     load = jnp.broadcast_to(sys96.load_pd[None, :], (256, sys96.n_load))
-    ref = dcopf.certify_states(sys96, down, load)
+    ref = dcopf.certify_states(sys96, down, load, woodbury_k=2)
     new = certify_kernel.certify_states_fused(sys96, down, load)
     assert (np.asarray(ref.certified) == np.asarray(new.certified)).all()
     # RTS-96 capacity sums reach ~90 p.u.; sum-reduction vs dot-product

@@ -310,6 +310,72 @@ def test_pair_outage_certificate_flows_exact(sys24):
         np.testing.assert_allclose(post[keep], f2, atol=1e-6)
 
 
+def test_multi_outage_certificate_flows_exact(sys24):
+    # Exact rank-k update check (k = 3, 4): certificate post-outage flows
+    # for 3- and 4-line outage sets must match flows computed on the
+    # reduced network (same construction as the rank-2 test above).
+    rng = np.random.default_rng(31)
+    sets = [(1, 3, 20), (5, 9, 30), (1, 3, 20, 33), (2, 12, 25, 31)]
+    inj = rng.normal(size=24).astype(np.float64)
+    inj[0] -= inj.sum()
+    import numpy.linalg as la
+    inc = np.asarray(sys24.incidence, np.float64)
+    bsus = np.asarray(sys24.b_susceptance, np.float64)
+    a = np.asarray(sys24.br_transfer, np.float64)
+    ptdf = np.asarray(sys24.ptdf, np.float64)
+    f0 = ptdf @ inj
+    for ks in sets:
+        ks = list(ks)
+        E = np.eye(len(ks)) - a[np.ix_(ks, ks)]
+        c = la.solve(E, f0[ks])
+        post = f0 + a[:, ks] @ c
+        keep = np.ones(38, bool)
+        keep[ks] = False
+        inc2, b2 = inc[keep], bsus[keep]
+        bbus = inc2.T @ (b2[:, None] * inc2)
+        ptdf2 = np.zeros((keep.sum(), 24))
+        ptdf2[:, 1:] = (b2[:, None] * inc2[:, 1:]) @ la.inv(bbus[1:, 1:])
+        np.testing.assert_allclose(post[keep], ptdf2 @ inj, atol=1e-6)
+
+
+def test_multi_outage_certified_lanes_match_oracle(sys24):
+    """Forced 3- and 4-branch-outage states: every lane the rank-4
+    Woodbury certificate closes must agree with the f64 HiGHS oracle
+    (the certificate claims PROVABLE optimality), the rank-2 setting
+    must leave all of them uncertified (they were LP-routed before),
+    and the uncertified remainder must solve through the LP to the
+    oracle as usual."""
+    ng = sys24.n_gen
+    rng = np.random.default_rng(77)
+    B = 24
+    down = np.zeros((B, sys24.n_comp), bool)
+    for i in range(B):
+        k = 3 if i % 2 == 0 else 4
+        down[i, ng + rng.choice(38, size=k, replace=False)] = True
+        # random moderate gen outages on top
+        down[i, rng.choice(ng, size=3, replace=False)] = True
+    down[:, 14] = False                       # pinned sync condenser
+    load = jnp.broadcast_to(sys24.load_pd[None, :], (B, sys24.n_load))
+
+    cert4 = dcopf.certify_states(sys24, jnp.asarray(down), load,
+                                 woodbury_k=4)
+    cert2 = dcopf.certify_states(sys24, jnp.asarray(down), load,
+                                 woodbury_k=2)  # the default
+    c4 = np.asarray(cert4.certified)
+    assert not np.asarray(cert2.certified).any()
+    assert c4.sum() >= B // 2      # rank-4 closes a real fraction
+
+    res = dcopf.evaluate_states(sys24, jnp.asarray(down), load, COMPAT, IPM)
+    for i in range(B):
+        ref = scipy_dns(sys24, down[i], np.asarray(load)[i])
+        if c4[i]:
+            # certified: the copper bound must BE the optimum
+            assert float(cert4.deficit[i]) * 100.0 == pytest.approx(
+                ref, abs=0.05), f"lane {i}"
+        assert float(res.dns_mw[i]) == pytest.approx(ref, abs=0.25), \
+            f"lane {i}"
+
+
 def test_baseline_report_intact_system():
     from powersystemsreliabilityassessment_tpu.engines import dcopf as d
     sys_ = build_system(cases.rts24())
