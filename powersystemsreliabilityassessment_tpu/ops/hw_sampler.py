@@ -21,8 +21,11 @@ kernel generates the bits with the TPU core's built-in hardware PRNG
 20-round cipher on the VPU, only the uint8 indicator matrix in HBM.
 
 Exactness: each component fails iff its 24-bit hardware draw is below
-``round(U * 2^24)`` — the same 2^-24 probability quantization as
-``jax.random.uniform``'s float32 output (which carries 24 random bits).
+``ceil(U * 2^24)`` — probabilities quantize to the 2^-24 grid (vs the
+2^-23 grid of ``jax.random.uniform``'s float32 output, which carries 23
+random mantissa bits; the two quantizations differ by at most 2^-23).
+``ceil`` guarantees P(fail) > 0 whenever U > 0 — ultra-rare components
+are never silently pinned by rounding-to-zero.
 Pinned (always-up) components get threshold 0 and can never fail. The
 stream is a different (hardware) PRNG than threefry, so same-seed
 results differ from :func:`sampling.state.sample_states`; the estimator
@@ -59,12 +62,14 @@ _SCALE = float(1 << _BITS)
 
 def bernoulli_thresholds(unavail: jax.Array, always_up: jax.Array,
                          n_pad: int) -> jax.Array:
-    """[1, n_pad] int32 thresholds: P(fail) = round(U * 2^24) / 2^24.
+    """[1, n_pad] int32 thresholds: P(fail) = ceil(U * 2^24) / 2^24.
 
-    Pinned and padded components get 0 (a 24-bit draw is never < 0).
+    ``ceil`` keeps P(fail) > 0 for every U > 0 (round() would pin any
+    U < 2^-25 to never-fail). Pinned and padded components get 0 (a
+    24-bit draw is never < 0).
     """
     n = unavail.shape[0]
-    t = jnp.round(unavail.astype(jnp.float32) * _SCALE).astype(jnp.int32)
+    t = jnp.ceil(unavail.astype(jnp.float32) * _SCALE).astype(jnp.int32)
     t = jnp.clip(t, 0, 1 << _BITS)
     t = jnp.where(always_up, 0, t)
     return jnp.pad(t, (0, n_pad - n))[None, :]
@@ -91,7 +96,13 @@ def sample_states_hw(key: jax.Array, unavail: jax.Array,
     n = unavail.shape[0]
     n_pad = max(128, -(-n // 128) * 128)
     b_pad = -(-batch // TILE) * TILE
-    seeds = jax.random.key_data(key).astype(jnp.uint32).astype(jnp.int32)
+    kd = jax.random.key_data(key)
+    if kd.shape != (2,):  # kernel consumes exactly 2 seed words
+        raise ValueError(
+            f"sample_states_hw requires a 2-word (threefry) key; got "
+            f"key_data shape {kd.shape} — e.g. 'rbg' keys (4 words) would "
+            f"silently drop half their state")
+    seeds = kd.astype(jnp.uint32).astype(jnp.int32)
     thresh = bernoulli_thresholds(unavail, always_up, n_pad)
     out = pl.pallas_call(
         _kernel,

@@ -35,13 +35,19 @@ def sample_states(key: jax.Array, unavail: jax.Array, always_up: jax.Array,
       rng_impl: "threefry" (default; counter-based, the reproducibility
         contract — same seed, same states on every backend) or "hw" (the
         TPU core's hardware PRNG via a Pallas kernel; same Bernoulli
-        distribution, different stream; falls back to threefry off-TPU).
+        distribution, different stream; falls back to threefry off-TPU
+        AND when ``antithetic=True`` — the hw kernel draws raw bits with
+        no reusable uniforms to mirror, so antithetic pairing always
+        uses the threefry path). Any other value raises ValueError.
         NOTE: "hw" measured SLOWER in the full production step — the
         Pallas call is a fusion barrier; see ops/hw_sampler.py for the
         A/B. Kept for workloads that consume raw state batches.
 
     Returns: bool [batch, n_comp].
     """
+    if rng_impl not in ("threefry", "hw"):
+        raise ValueError(f"unknown rng_impl {rng_impl!r}; "
+                         "expected 'threefry' or 'hw'")
     n = unavail.shape[0]
     if rng_impl == "hw" and not antithetic:
         from ..ops import hw_sampler
@@ -64,7 +70,8 @@ def sample_states(key: jax.Array, unavail: jax.Array, always_up: jax.Array,
 @partial(jax.jit, static_argnames=("batch",))
 def sample_states_importance(key: jax.Array, unavail: jax.Array,
                              always_up: jax.Array, batch: int,
-                             boost: float):
+                             boost: float,
+                             boost_mask: jax.Array | None = None):
     """Importance-sampled state draw: failure-biased proposal + weights.
 
     Variance reduction for rare-event regimes the reference's plain MC
@@ -79,10 +86,21 @@ def sample_states_importance(key: jax.Array, unavail: jax.Array,
     (E_q[w f(X)] = E_p[f(X)]). Pinned (always-up) components are fixed
     under both measures, so they contribute factor 1.
 
+    ``boost_mask`` ([n_comp] bool, optional) restricts the boost to a
+    subset of components: where the mask is False, q_i = U_i exactly
+    (likelihood-ratio factor 1 — those components are sampled from the
+    true measure). Use case: capacity-driven rare events at
+    transmission scale (case300) want GENERATOR outages boosted while
+    branch outages stay at plain rates, so the tier-1 certificate's
+    n_out <= woodbury_k eligibility keeps its ~99% closure instead of
+    collapsing under boosted multi-branch states.
+
     Returns (down bool [batch, n_comp], weight f32 [batch]).
     """
     n = unavail.shape[0]
     q = jnp.minimum(boost * unavail, 0.5)
+    if boost_mask is not None:
+        q = jnp.where(boost_mask, q, unavail)
     q = jnp.where(always_up, 0.0, q)
     p = jnp.where(always_up, 0.0, unavail)
     u = jax.random.uniform(key, (batch, n))

@@ -60,12 +60,34 @@ def default_max_lp(batch_per_device: int, nodal_mode: str = "lp",
     return max(batch_per_device // frac, 16)
 
 
+def default_woodbury_k(sys: System, is_boost: float = 0.0,
+                       is_boost_scope: str = "all") -> int:
+    """Auto certificate rank: 2 unless >= 3 simultaneous branch outages
+    are non-negligible UNDER THE SAMPLING MEASURE (boost included when
+    its scope covers branches), then 4.
+
+    Poisson bound on the branch-outage count N with rate
+    lam = sum_k q_k: P(N >= 3) <= 1 - e^-lam (1 + lam + lam^2/2).
+    RTS-24 (lam ~ 0.015) gives ~6e-7 -> rank 2 (the extra rank-4
+    selector matmuls are pure cost there); case300s (lam ~ 0.69) gives
+    ~3.3e-2 -> rank 4 (matches the measured n_out histogram,
+    results/case300_cert_breakdown.json)."""
+    q = np.asarray(sys.unavail, np.float64)[sys.n_gen:]
+    if is_boost > 1.0 and is_boost_scope == "all":
+        q = np.minimum(is_boost * q, 0.5)
+    lam = float(q.sum())
+    p_ge3 = 1.0 - np.exp(-lam) * (1.0 + lam + lam * lam / 2.0)
+    return 2 if p_ge3 < 1e-4 else 4
+
+
 def make_nsq_batch_step(sys: System, mesh: Mesh, batch_per_device: int,
                         compat: CompatFlags, ipm: IPMConfig,
                         max_lp: int | None = None, antithetic: bool = False,
                         nodal_mode: str = "lp", is_boost: float = 0.0,
                         cv_arrays: tuple | None = None,
-                        enum_order: int = 0):
+                        enum_order: int = 0,
+                        is_boost_scope: str = "all",
+                        woodbury_k: int | None = None):
     """Build the jitted, mesh-sharded one-batch step: key -> BatchMoments.
 
     ``cv_arrays = (gen_cap_mw [ng] f32, total_load_mw, mu_e, mu_l)``
@@ -87,6 +109,15 @@ def make_nsq_batch_step(sys: System, mesh: Mesh, batch_per_device: int,
         "offsets; combine is not supported"
     if max_lp is None:
         max_lp = default_max_lp(batch_per_device, nodal_mode, is_boost)
+    if woodbury_k is None:
+        woodbury_k = default_woodbury_k(sys, is_boost, is_boost_scope)
+    if is_boost_scope not in ("all", "gens"):
+        raise ValueError(f"unknown is_boost_scope {is_boost_scope!r}; "
+                         "expected 'all' or 'gens'")
+    gen_only_mask = None
+    if is_boost > 0 and is_boost_scope == "gens":
+        gen_only_mask = jnp.asarray(
+            np.arange(sys.n_comp) < sys.n_gen)
 
     if cv_arrays is not None:
         gen_cap_mw = jnp.asarray(cv_arrays[0], jnp.float32)
@@ -101,7 +132,7 @@ def make_nsq_batch_step(sys: System, mesh: Mesh, batch_per_device: int,
         if is_boost > 0:
             down, weight = sample_states_importance(
                 k, sys.unavail, sys.always_up_nsq, batch_per_device,
-                is_boost)
+                is_boost, boost_mask=gen_only_mask)
         else:
             down = sample_states(k, sys.unavail, sys.always_up_nsq,
                                  batch_per_device, antithetic=antithetic)
@@ -111,7 +142,8 @@ def make_nsq_batch_step(sys: System, mesh: Mesh, batch_per_device: int,
         res, n_over = dcopf.evaluate_states_screened(
             sys, down, load, max_lp, compat, ipm, nodal_mode,
             repair_buffer=dcopf.default_repair_buffer(
-                batch_per_device, max(is_boost, 1.0)))
+                batch_per_device, max(is_boost, 1.0)),
+            woodbury_k=woodbury_k)
         if enum_order > 0:
             # Tail mask: low-order states are counted exactly by the
             # enumeration pre-pass; only #down > enum_order contributes
@@ -262,7 +294,9 @@ def run_nsq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
                                antithetic=cfg.antithetic,
                                nodal_mode=cfg.nodal_mode,
                                is_boost=cfg.is_boost, cv_arrays=cv_arrays,
-                               enum_order=enum_order)
+                               enum_order=enum_order,
+                               is_boost_scope=cfg.is_boost_scope,
+                               woodbury_k=cfg.woodbury_k)
     root = jax.random.key(cfg.seed)
 
     stats = accumulators.RunningStats()
@@ -322,7 +356,9 @@ def run_nsq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
                     sys, mesh, bpd, compat, ipm, max_lp=max_lp,
                     antithetic=cfg.antithetic, nodal_mode=cfg.nodal_mode,
                     is_boost=cfg.is_boost, cv_arrays=cv_arrays,
-                    enum_order=enum_order)
+                    enum_order=enum_order,
+                    is_boost_scope=cfg.is_boost_scope,
+                    woodbury_k=cfg.woodbury_k)
                 return True
             overflow += int(n_over)  # buffer already at batch size
         infeasible += int(n_infeas)

@@ -64,6 +64,25 @@ class MCSConfig:
     # variance reduction for rare-event regimes plain MC undersamples.
     # 0 disables. Mutually exclusive with antithetic.
     is_boost: float = 0.0
+    # Which components the boost applies to: "all" (every non-pinned
+    # component) or "gens" (generators only — branches keep their true
+    # outage rates, likelihood-ratio factor 1). "gens" is the right
+    # scope for capacity-driven rare events at transmission scale: it
+    # preserves the tier-1 certificate's n_out <= woodbury_k closure
+    # (boosted branch rates flood the batch with deep multi-branch
+    # topologies the certificate must LP-route).
+    is_boost_scope: str = "all"
+    # Certificate multi-branch-outage coverage: post-outage flows are
+    # exact (rank-k Woodbury) for outage sets of size <= woodbury_k,
+    # deeper sets fall through to the LP. None = auto per system: 2
+    # unless the expected fraction of sampled states with >= 3 branch
+    # outages exceeds 1e-4 (Poisson bound on the sampling measure,
+    # including the boost), then 4. RTS-24 resolves to 2 (rank-4 slots
+    # cost ~2 extra [B,nl]@[nl,nl] matmuls on the HBM-bound hot path
+    # for states that essentially never occur); case300s resolves to 4
+    # (3% of plain-MC states have >= 3 branch outages —
+    # results/case300_cert_breakdown.json).
+    woodbury_k: int | None = None
     # "lp": states with a positive capacity deficit get their nodal shed
     # split from the interior-point LP (MIPS-like center of the degenerate
     # optimal face). "proportional": certified deficit states skip the LP —

@@ -314,3 +314,38 @@ def test_default_max_lp_mode_aware():
     assert default_max_lp(4096, "proportional") == 64
     assert default_max_lp(4096, "proportional", is_boost=4.0) == 2048
     assert default_max_lp(8, "proportional") == 16   # floor
+
+
+def test_default_woodbury_k_auto_rule():
+    from powersystemsreliabilityassessment_tpu.core.system import build_system
+    from powersystemsreliabilityassessment_tpu.studies.hl2_nsq import (
+        default_woodbury_k)
+    sys24 = build_system(cases.rts24())
+    # RTS-24 plain MC: sum of branch unavailabilities ~0.015 ->
+    # P(>=3 branch outages) ~6e-7 -> rank 2 (extra rank-4 selector
+    # matmuls are pure HBM traffic there).
+    assert default_woodbury_k(sys24) == 2
+    # All-component boost drives branch rates up ~boost x -> rank 4.
+    assert default_woodbury_k(sys24, is_boost=42.0,
+                              is_boost_scope="all") == 4
+    # Gens-only boost leaves branch rates at the true measure -> rank 2.
+    assert default_woodbury_k(sys24, is_boost=42.0,
+                              is_boost_scope="gens") == 2
+    # case300s: ~3% of plain-MC samples have >= 3 branch outages
+    # (results/case300_cert_breakdown.json histogram) -> rank 4.
+    sys300 = build_system(cases.case300s())
+    assert default_woodbury_k(sys300) == 4
+
+
+def test_nsq_gens_only_boost_agrees_with_plain():
+    # The gens-only scope must estimate the SAME indices (unbiased IS);
+    # smoke-scale statistical agreement + finite weights.
+    plain = run_nsq_study(cases.rts24(),
+                          MCSConfig(batch_size=1024, max_samples=4096,
+                                    seed=9), log_every=0)
+    isg = run_nsq_study(cases.rts24(),
+                        MCSConfig(batch_size=1024, max_samples=4096,
+                                  seed=9, is_boost=2.5,
+                                  is_boost_scope="gens"), log_every=0)
+    assert isg.edns_mw == pytest.approx(plain.edns_mw, rel=0.35)
+    assert np.isfinite(isg.beta) and isg.overflow_states == 0

@@ -40,9 +40,16 @@ class TestBernoulli:
         always = jnp.asarray([False, False, False, False, True])
         t = np.asarray(hw_sampler.bernoulli_thresholds(u, always, 128))
         assert t.shape == (1, 128)
-        # P(draw < t) = t / 2^24 must equal U to the 2^-24 quantum.
+        # P(draw < t) = t / 2^24 = ceil(U * 2^24) / 2^24: within one
+        # 2^-24 quantum of U, and ceil keeps P > 0 whenever U > 0
+        # (U = 1e-9 would round to never-fail; it must get threshold 1).
         np.testing.assert_array_equal(
-            t[0, :5], [0, round(0.02 * 2**24), 2**23, 2**24, 0])
+            t[0, :4], [0, int(np.ceil(np.float32(0.02) * 2**24)),
+                       2**23, 2**24])
+        assert t[0, 4] == 0          # pinned beats U > 0
+        assert np.asarray(hw_sampler.bernoulli_thresholds(
+            jnp.asarray([1e-9], jnp.float32), jnp.asarray([False]),
+            128))[0, 0] == 1
         assert (t[0, 5:] == 0).all()  # padding can never fail
 
     def test_antithetic_pairs(self):
@@ -112,6 +119,49 @@ class TestImportance:
         est = (w[:, None] * x).mean(axis=0)
         target = np.where(np.asarray(always), 0.0, np.asarray(u, np.float64))
         np.testing.assert_allclose(est, target, atol=0.004)
+
+    def test_boost_mask_gens_only(self):
+        # With boost_mask = gens only: branch columns are sampled from the
+        # TRUE measure (q = U, likelihood factor 1), so the exact weight is
+        # the product over generator components alone.
+        case = cases.rts24()
+        u = jnp.asarray(twostate.unavailability(case), jnp.float32)
+        always = jnp.zeros(71, bool).at[14].set(True)
+        mask = jnp.asarray(np.arange(71) < case.n_gen)
+        boost = 5.0
+        down, w = state.sample_states_importance(
+            jax.random.key(11), u, always, 4096, boost, boost_mask=mask)
+        down = np.asarray(down)
+        w = np.asarray(w, np.float64)
+        un = np.asarray(u, np.float64)
+        q = np.where(np.asarray(mask), np.minimum(boost * un, 0.5), un)
+        free = ~np.asarray(always)
+        for i in range(0, 4096, 511):
+            x = down[i]
+            ratio = np.prod(np.where(
+                free, np.where(x, un / q, (1 - un) / (1 - q)), 1.0))
+            assert w[i] == pytest.approx(ratio, rel=1e-4)
+        # Branch failure rate stays at the plain-measure level, NOT
+        # boosted: mean branch outage count = sum(U_branches) exactly in
+        # expectation (and far below the 5x-boosted level).
+        n_br_out = down[:, case.n_gen:].sum(axis=1)
+        lam_br = float(un[case.n_gen:].sum())
+        assert n_br_out.mean() == pytest.approx(lam_br, rel=0.35)
+        assert n_br_out.mean() < 2.0 * lam_br  # nowhere near boosted (5x)
+        # Gen outages ARE boosted: ~5x the plain rate.
+        n_gen_out = down[:, :case.n_gen].sum(axis=1)
+        assert n_gen_out.mean() > 2.0
+
+    def test_boost_mask_all_false_is_plain_mc(self):
+        u = jnp.asarray([0.01, 0.2, 0.4], jnp.float32)
+        always = jnp.zeros(3, bool)
+        down, w = state.sample_states_importance(
+            jax.random.key(3), u, always, 512, 40.0,
+            boost_mask=jnp.zeros(3, bool))
+        np.testing.assert_allclose(np.asarray(w), 1.0, rtol=1e-6)
+        # marginals match the true measure
+        est = np.asarray(down, np.float64).mean(axis=0)
+        np.testing.assert_allclose(est, np.asarray(u), atol=0.06)
 
     def test_nsq_study_importance_agrees_with_plain(self):
         from powersystemsreliabilityassessment_tpu.studies.hl2_nsq import (
