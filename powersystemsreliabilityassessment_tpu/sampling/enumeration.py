@@ -30,7 +30,7 @@ and contribute probability factor 1.
 from __future__ import annotations
 
 import dataclasses
-import itertools
+from functools import lru_cache
 from math import comb
 
 import jax
@@ -65,17 +65,45 @@ def count_states(n_free: int, order: int) -> int:
     return sum(comb(n_free, j) for j in range(order + 1))
 
 
+@lru_cache(maxsize=64)
+def _binom_table(n: int, j: int) -> np.ndarray:
+    """[n+1] int64 table of C(c, j) for c = 0..n (nondecreasing in c)."""
+    t = np.zeros(n + 1, np.int64)
+    for c in range(j, n + 1):
+        t[c] = comb(c, j)          # exact ints; C(888,5) ~ 4.5e12 << 2^63
+    return t
+
+
+def unrank_combinations(ranks: np.ndarray, j: int, n: int) -> np.ndarray:
+    """Colexicographic unranking (combinatorial number system), vectorized.
+
+    Maps rank r in [0, C(n, j)) to the j-subset {c_1 < ... < c_j} of
+    range(n) with r = sum_i C(c_i, i). Each digit is one ``searchsorted``
+    over a precomputed binomial table — no Python per-combination loop.
+    (itertools.combinations here was the enumeration pre-pass wall:
+    293 s of host iterator time for C(71,5) vs ~2 s of TPU compute;
+    this unranking covers the same set in well under a second.)
+    """
+    r = np.ascontiguousarray(ranks, np.int64).copy()
+    out = np.empty((r.size, j), np.int32)
+    for i in range(j, 0, -1):
+        table = _binom_table(n, i)
+        c = np.searchsorted(table, r, side="right") - 1
+        out[:, i - 1] = c
+        r -= table[c]
+    return out
+
+
 def _combo_chunks(n_free: int, order: int, chunk: int):
     """Yield (j, combos[int32, c, j]) covering all combinations of each
-    order j = 1..order in chunks of at most ``chunk`` rows."""
+    order j = 1..order in chunks of at most ``chunk`` rows (colex order,
+    ascending indices within each row)."""
     for j in range(1, order + 1):
-        it = itertools.combinations(range(n_free), j)
-        while True:
-            block = np.fromiter(itertools.chain.from_iterable(
-                itertools.islice(it, chunk)), dtype=np.int32)
-            if block.size == 0:
-                break
-            yield j, block.reshape(-1, j)
+        total = comb(n_free, j)
+        for start in range(0, total, chunk):
+            ranks = np.arange(start, min(start + chunk, total),
+                              dtype=np.int64)
+            yield j, unrank_combinations(ranks, j, n_free)
 
 
 def state_log_weights(combos: np.ndarray, logit: np.ndarray,

@@ -190,3 +190,36 @@ def test_enum_cv_mutually_exclusive():
         run_nsq_study(cases.rts24(), MCSConfig(batch_size=128,
                                                max_samples=128),
                       log_every=0, enum_order=2, control_variate=True)
+
+
+def test_unrank_combinations_bijective_vs_itertools():
+    # The colex unranking must cover EXACTLY the set of j-subsets (as
+    # sorted tuples) that itertools.combinations yields — the hot-loop
+    # replacement (293 s of host iterator time for C(71,5) -> <1 s)
+    # must be a pure reordering, never a re-weighting.
+    import itertools
+    for n, j in [(7, 1), (9, 2), (12, 3), (10, 4), (11, 5)]:
+        total = enumeration.count_states(n, j) - enumeration.count_states(
+            n, j - 1)
+        ranks = np.arange(total, dtype=np.int64)
+        got = enumeration.unrank_combinations(ranks, j, n)
+        assert got.shape == (total, j)
+        # ascending indices within each row
+        assert (np.diff(got, axis=1) > 0).all() if j > 1 else True
+        got_set = {tuple(r) for r in got.tolist()}
+        ref_set = set(itertools.combinations(range(n), j))
+        assert got_set == ref_set
+
+
+def test_unrank_combinations_large_rank_exact():
+    # Exactness at case300 scale: C(888, 5) ~ 4.5e12 ranks must unrank
+    # without int64 overflow or float rounding; spot-check that the
+    # unranked subset's colex rank reconstructs the input rank.
+    from math import comb
+    n, j = 888, 5
+    total = comb(n, j)
+    ranks = np.asarray([0, 1, 12345678901, total - 2, total - 1], np.int64)
+    got = enumeration.unrank_combinations(ranks, j, n)
+    for r, row in zip(ranks.tolist(), got.tolist()):
+        assert sorted(row) == row
+        assert sum(comb(c, i + 1) for i, c in enumerate(row)) == r
