@@ -35,6 +35,12 @@ def build_parser() -> argparse.ArgumentParser:
     nsq.add_argument("--is-boost", type=float, default=0.0,
                      help="importance-sampling failure boost (0 = plain "
                           "MC; try 2-4 for rare-event regimes)")
+    nsq.add_argument("--is-boost-scope", default="all",
+                     choices=["all", "gens"],
+                     help="components the boost applies to: 'gens' "
+                          "leaves branch rates at the true measure, "
+                          "preserving the certificate closure rate "
+                          "(recommended at case300 scale)")
     nsq.add_argument("--control-variate", action="store_true",
                      help="copper-sheet control variate with exact f64 "
                           "COPT mean (composes with --is-boost and "
@@ -149,7 +155,8 @@ def main() -> None:
         res = run_nsq_study(case, MCSConfig(
             batch_size=args.batch, max_samples=args.samples,
             beta_limit=args.beta, seed=args.seed,
-            is_boost=args.is_boost), checkpointer=ck,
+            is_boost=args.is_boost,
+            is_boost_scope=args.is_boost_scope), checkpointer=ck,
             control_variate=args.control_variate,
             enum_order=args.enum_order,
             ipm=IPMConfig(early_exit=args.early_exit))

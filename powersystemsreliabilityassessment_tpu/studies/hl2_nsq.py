@@ -35,7 +35,8 @@ from powersystemsreliabilityassessment_tpu.utils.config import (
 
 
 def default_max_lp(batch_per_device: int, nodal_mode: str = "lp",
-                   is_boost: float = 0.0) -> int:
+                   is_boost: float = 0.0,
+                   is_boost_scope: str = "all") -> int:
     """Default LP-lane buffer per device batch.
 
     The IPM solves every buffer lane (padding included), so the buffer
@@ -49,9 +50,17 @@ def default_max_lp(batch_per_device: int, nodal_mode: str = "lp",
       and the grow-and-redo loop still self-corrects if a case exceeds
       it (scripts/probe_bench_maxlp.py history: 6.25% measured ~30%
       faster than 25%; 0.1% another ~2x on the bench step).
-    - Importance sampling boosts the multi-outage rate: 50% buffer.
+    - Importance sampling with the all-component scope boosts the
+      multi-BRANCH-outage rate, i.e. certificate-ineligible lanes: 50%
+      buffer. The gens-only scope leaves branch rates (and hence the
+      certificate miss rate) at plain-MC levels, so in "proportional"
+      mode the unboosted default applies; "lp" mode routes every
+      DEFICIT state to the LP and gens boost inflates exactly those
+      (measured: boost 2.5 on RTS-24 lifts the deficit fraction ~9% ->
+      ~44%), so it needs the 50% buffer too. The study's grow-and-redo
+      loop self-corrects either way.
     """
-    if is_boost > 1.0:
+    if is_boost > 1.0 and (is_boost_scope == "all" or nodal_mode == "lp"):
         frac = 2
     elif nodal_mode == "proportional":
         frac = 64
@@ -108,7 +117,8 @@ def make_nsq_batch_step(sys: System, mesh: Mesh, batch_per_device: int,
         "enumeration hybrid and control variate both carry exact-mean " \
         "offsets; combine is not supported"
     if max_lp is None:
-        max_lp = default_max_lp(batch_per_device, nodal_mode, is_boost)
+        max_lp = default_max_lp(batch_per_device, nodal_mode, is_boost,
+                                is_boost_scope)
     if woodbury_k is None:
         woodbury_k = default_woodbury_k(sys, is_boost, is_boost_scope)
     if is_boost_scope not in ("all", "gens"):
@@ -142,7 +152,8 @@ def make_nsq_batch_step(sys: System, mesh: Mesh, batch_per_device: int,
         res, n_over = dcopf.evaluate_states_screened(
             sys, down, load, max_lp, compat, ipm, nodal_mode,
             repair_buffer=dcopf.default_repair_buffer(
-                batch_per_device, max(is_boost, 1.0)),
+                batch_per_device,
+                max(is_boost, 1.0) if is_boost_scope == "all" else 1.0),
             woodbury_k=woodbury_k)
         if enum_order > 0:
             # Tail mask: low-order states are counted exactly by the
@@ -267,7 +278,8 @@ def run_nsq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
         # grows from the buffer actually in use (growing from a wrongly
         # assumed default would rebuild an identical step and waste a
         # full redo + compile).
-        max_lp = default_max_lp(bpd, cfg.nodal_mode, cfg.is_boost)
+        max_lp = default_max_lp(bpd, cfg.nodal_mode, cfg.is_boost,
+                                cfg.is_boost_scope)
 
     cv_arrays = None
     if control_variate:

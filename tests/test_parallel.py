@@ -313,6 +313,14 @@ def test_default_max_lp_mode_aware():
     assert default_max_lp(4096, "lp") == 1024
     assert default_max_lp(4096, "proportional") == 64
     assert default_max_lp(4096, "proportional", is_boost=4.0) == 2048
+    # Gens-only boost leaves branch (certificate-miss) rates at plain-MC
+    # levels -> the unboosted default applies in proportional mode; "lp"
+    # mode routes every DEFICIT state to the LP, and gens boost inflates
+    # exactly those (measured ~9% -> ~44% at boost 2.5 on RTS-24).
+    assert default_max_lp(4096, "proportional", is_boost=4.0,
+                          is_boost_scope="gens") == 64
+    assert default_max_lp(4096, "lp", is_boost=4.0,
+                          is_boost_scope="gens") == 2048
     assert default_max_lp(8, "proportional") == 16   # floor
 
 
