@@ -36,6 +36,23 @@ def _pos(a, eps=1e-12):
     return jnp.maximum(a, eps)
 
 
+def _merge_lanes(new: LPBatchSolution, old: LPBatchSolution
+                 ) -> LPBatchSolution:
+    """Per-lane keep-the-better merge across solver passes: feasibility
+    first (heavy penalty past 3e-4 primal residual), then objective —
+    so well-converged lanes can never regress under a restart."""
+    pen = lambda s: (s.objective
+                     + 1e4 * jnp.maximum(s.primal_residual - 3e-4, 0.0))
+    take_new = pen(new) < pen(old)
+    pick = lambda a_new, a_old: jnp.where(
+        take_new[:, None] if a_new.ndim == 2 else take_new, a_new, a_old)
+    return LPBatchSolution(
+        x=pick(new.x, old.x),
+        objective=pick(new.objective, old.objective),
+        primal_residual=pick(new.primal_residual, old.primal_residual),
+        duality_gap=pick(new.duality_gap, old.duality_gap))
+
+
 # VMEM budget: with Mosaic's double-buffered grid inputs ~5 [m, m, 128]
 # f32 tiles are live in the direct kernel; m <= 72 keeps that under the
 # 16 MB VMEM limit. Up to _BLOCKED_MAX_M the panel-blocked factorization
@@ -336,14 +353,28 @@ def solve_box_lp_batched(c, A, b, l, u,
         # TPU f32 accumulation orders differ enough that stalled lanes
         # need the full budget. Keep iterations symmetric.
         sol = one_pass(jnp.clip(sol.x, l + 0.02 * width, u - 0.02 * width))
-        pen = lambda s: (s.objective
-                         + 1e4 * jnp.maximum(s.primal_residual - 3e-4, 0.0))
-        take_new = pen(sol) < pen(prev)
-        pick = lambda a_new, a_old: jnp.where(
-            take_new[:, None] if a_new.ndim == 2 else take_new, a_new, a_old)
-        sol = LPBatchSolution(
-            x=pick(sol.x, prev.x),
-            objective=pick(sol.objective, prev.objective),
-            primal_residual=pick(sol.primal_residual, prev.primal_residual),
-            duality_gap=pick(sol.duality_gap, prev.duality_gap))
+        sol = _merge_lanes(sol, prev)
+
+    # Per-lane escalation: the unconditional restart still leaves ~1
+    # lane per few hundred at m ~ 792 stalled past the evaluator's
+    # 5e-3 trust guard (results/case300_parity.json round 2:
+    # quality_max 8.4e-3, a 1.13 MW hidden error degraded to its copper
+    # bound). Those lanes are rare by construction, so the extra passes
+    # run under lax.cond gated on the batch's worst quality score —
+    # a clean batch pays one scalar reduction, nothing else. Each pass
+    # warm-starts deeper inside the box than the last (0.02 -> 0.05 ->
+    # 0.1 of width) so a lane stuck in the same near-complementary
+    # basin gets a genuinely different barrier trajectory.
+    for i in range(cfg.escalate_passes if m > _BLOCKED_MAX_M else 0):
+        prev = sol
+        trip = jnp.any(prev.primal_residual + 2 * n * prev.duality_gap
+                       > cfg.escalate_tol)
+        inset = (0.05, 0.1)[min(i, 1)]
+        sol = jax.lax.cond(
+            trip,
+            lambda xv: tuple(one_pass(
+                jnp.clip(xv, l + inset * width, u - inset * width))),
+            lambda xv: tuple(prev),
+            prev.x)
+        sol = _merge_lanes(LPBatchSolution(*sol), prev)
     return sol

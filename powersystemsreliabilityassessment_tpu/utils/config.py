@@ -112,6 +112,16 @@ class IPMConfig:
     # for large m; lp_ipm_batched.solve_box_lp_batched). None = auto:
     # 1 when m exceeds the blocked-Cholesky range (case300 scale), else 0.
     restarts: int | None = None
+    # Per-lane escalation (large-m batched path only): after the
+    # unconditional restarts, up to this many FURTHER warm-restart
+    # passes run under lax.cond, gated on any lane still exceeding
+    # ``escalate_tol`` on the evaluator's quality score
+    # (primal_residual + 2n * duality_gap — the same score dcopf's
+    # 5e-3 trust guard reads). A clean batch skips them at runtime;
+    # a rare stalled lane gets the extra budget instead of silently
+    # degrading to its certified copper bound.
+    escalate_passes: int = 2
+    escalate_tol: float = 5e-3
     # Fused-kernel whole-block early exit: stop iterating a 128-lane
     # block once every lane is frozen (mu < mu_tol or non-finite) —
     # exactly equivalent to the fixed-count loop, saves the tail
