@@ -45,15 +45,16 @@ def main() -> None:
     sys = build_system(case, compat)
 
     batch = 262144
-    # Fast-mode LP need is ~116 lanes of 262144 (0.044%; binomial sd ~11,
-    # max 139 over 24 probed batches — so 256 leaves ~11 sigma of
-    # headroom; zero overflows observed, and an overflow would only log +
-    # degrade the overflowed lanes to certified bounds, never corrupt the
-    # estimate). The fused IPM solves every buffer lane, padding
-    # included, so buffer size is pure overhead above the need: 13.3M
-    # scen/s at 2048 vs 26.1M at 256 after the gather-free certificate
-    # rewrite + post-outage (LODF-corrected) repair extension
-    # (scripts/probe_bench_maxlp.py, /tmp probes logged in NEXT.md).
+    # Fast-mode LP need is ~126 lanes of 262144 after the repair descent
+    # (0.048%; binomial sd ~11 — so 256 leaves ~11 sigma of headroom;
+    # an overflow would only log + degrade the overflowed lanes to
+    # certified bounds, never corrupt the estimate). The fused IPM
+    # solves every buffer lane, padding included, so buffer size is pure
+    # overhead above the need: 13.3M scen/s at 2048 vs 26.1M at 256
+    # (scripts/probe_bench_maxlp.py). The repair buffer must cover the
+    # ~7% of lanes failing the FIRST check (18.4k at this batch —
+    # scripts/probe_firstpass_rate.py; default_repair_buffer sizes it),
+    # or their overflow floods the LP buffer.
     max_lp = 256
 
     @jax.jit

@@ -723,18 +723,28 @@ def default_repair_buffer(batch: int,
                           outage_boost: float = 1.0) -> int | None:
     """Compacted-repair buffer policy for ``certify_states``.
 
-    Plain-MC regime: ~0.4% of RTS-24 peak lanes fail the first
-    post-outage flow check (max observed need ~1.1k of 262144), so
-    ``max(2048, batch // 64)`` leaves huge headroom while cutting the
-    repair descent from O(batch) to O(buffer). Dense-outage regimes
+    Plain-MC regime at RTS-24 peak: ~7.0% of lanes fail the first
+    post-outage flow check (measured 18,446 of 262144,
+    scripts/probe_firstpass_rate.py) — almost all of them deficit > 0
+    states, whose forced all-gens-at-max dispatch overloads a line
+    under the proportional shed until the repair descent moves the shed
+    pattern (it rescues 99.5% of them). The needy fraction is therefore
+    ~LOLP at the study load level (~8.5% at RTS-24 peak), NOT the
+    ~0.4% residual that reaches the LP after repair — an earlier
+    ``batch // 64`` policy conflated the two and silently degraded
+    ~5.4% of bench-config lanes to their copper bounds via LP-buffer
+    overflow. ``batch // 8`` covers the measured need with ~1.7x
+    headroom; the repair descent on the buffer costs ~0.33 ms at 32k
+    lanes (full-batch repair is ~2.6 ms at 262144), so the compaction
+    still removes ~90% of the repair cost. Dense-outage regimes
     (``outage_boost > 1`` importance sampling; contingency enumeration
     calls keep the ``None`` default directly) must repair full-batch —
-    their needy fraction is not small, and overflowed lanes would all
-    fall to the LP buffer instead.
+    their needy fraction is larger still, and overflowed lanes would
+    all fall to the LP buffer instead.
     """
     if outage_boost > 1.0:
         return None
-    return min(batch, max(2048, batch // 64))
+    return min(batch, max(2048, batch // 8))
 
 
 @partial(jax.jit, static_argnames=("compat", "ipm", "max_lp", "nodal_mode",

@@ -510,6 +510,10 @@ def test_screened_repair_buffer_invariant(sys24):
 
 
 def test_default_repair_buffer_policy():
-    assert dcopf.default_repair_buffer(262144) == 4096
+    # batch // 8 covers the measured ~7.0% first-check-needy fraction
+    # at RTS-24 peak with headroom (scripts/probe_firstpass_rate.py:
+    # 18,446 needy of 262144; an earlier batch // 64 policy overflowed).
+    assert dcopf.default_repair_buffer(262144) == 32768
+    assert dcopf.default_repair_buffer(262144) > 18446
     assert dcopf.default_repair_buffer(1024) == 1024
     assert dcopf.default_repair_buffer(262144, outage_boost=8.0) is None
