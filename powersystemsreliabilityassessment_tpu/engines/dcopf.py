@@ -275,6 +275,136 @@ def _cramer_solve(E: list[list], f: list, safe_det: jax.Array) -> list:
             / safe_det for i in range(k)]
 
 
+def _shed_candidate(sys: System, load_pu: jax.Array, deficit: jax.Array,
+                    load_tot: jax.Array,
+                    shed_hint: jax.Array | None) -> jax.Array:
+    """Load-proportional (or hint-scaled) shed pattern at exactly the
+    copper bound, rebalanced within per-load caps."""
+    prop = load_pu * (deficit / jnp.maximum(load_tot, 1e-9))[:, None]
+    if shed_hint is None:
+        cand = prop
+    else:
+        hint_sum = jnp.sum(shed_hint, axis=1)
+        scaled = shed_hint * (deficit / jnp.maximum(hint_sum, 1e-9))[:, None]
+        cand = jnp.where((hint_sum > 1e-6)[:, None], scaled, prop)
+    cand = jnp.minimum(cand, load_pu)
+    return _rebalance_shed(cand, load_pu, deficit)
+
+
+def _dispatch_candidate(sys: System, gen_cap: jax.Array, load_pu: jax.Array,
+                        cand: jax.Array, served: jax.Array) -> jax.Array:
+    """Locally self-balancing dispatch candidate: each bus's generators
+    first cover that bus's (post-shed) load, and only the residual is
+    pooled across the remaining headroom. This keeps nodal injections —
+    and therefore candidate flows — near zero, which is what lets the
+    certificate pass on multi-area systems where a uniform-alpha
+    dispatch would force large inter-area transfers."""
+    served_bus = (load_pu - cand) @ sys.load_onehot.T      # [B, nb]
+    cap_bus = gen_cap @ sys.gen_bus_onehot.T               # [B, nb]
+    local_frac = jnp.minimum(
+        served_bus / jnp.maximum(cap_bus, 1e-9), 1.0)      # [B, nb]
+    disp_local = gen_cap * (local_frac @ sys.gen_bus_onehot)
+    return _rebalance_shed(disp_local, gen_cap, served)
+
+
+def _repair_descent(sys: System, repair_iters: int, rate_ok: jax.Array,
+                    ptdf_gen: jax.Array, ptdf_load: jax.Array,
+                    lp_, cand_, disp_, gcap_, brd_, served_, deficit_,
+                    post0_, ok0_):
+    """Flow-repair descent on LODF-corrected post-outage flows,
+    parameterized over the (possibly compacted) lane set. Moves BOTH
+    free quantities along their PTDF sensitivities — the shed pattern
+    (d f_l / d shed_i = PTDF[l, load_bus_i]) and the generator dispatch
+    (d f_l / d Pg_g = PTDF[l, gen_bus_g]) — re-balances each to its
+    exact total, and re-checks. The repaired point is just another
+    candidate: if it passes, the copper bound is certified with it;
+    otherwise the state falls through to the LP. The gradient carries
+    the LODF chain-rule term d post_l / d f = I + e_k lodf[:,k]',
+    i.e. w = v + br_down*(v@lodf)."""
+    load_bus_ = lp_ @ sys.load_onehot.T
+
+    def flows_full_(disp, shed):
+        inj = (disp @ sys.gen_bus_onehot.T + shed @ sys.load_onehot.T
+               - load_bus_)
+        return inj @ sys.ptdf.T
+
+    def post_flows_(f):
+        return (f + (brd_ * f) @ sys.lodf.T) * (1.0 - brd_)
+
+    best_ok_, best_shed_, best_disp_ = ok0_, cand_, disp_
+    cur_shed, cur_disp, cur_post = cand_, disp_, post0_
+    elig_ = jnp.sum(brd_, axis=1) <= 1
+    for _ in range(repair_iters):
+        over = jnp.maximum(jnp.abs(cur_post) - sys.br_rate[None, :], 0.0)
+        sgn_over = jnp.sign(cur_post) * over
+        w = sgn_over + brd_ * (sgn_over @ sys.lodf)   # [*, nl]
+        # dispatch adjustment (scaled to the larger of the two totals)
+        grad_g = w @ ptdf_gen                         # [*, ng]
+        grad_g = grad_g - jnp.mean(grad_g, axis=1, keepdims=True)
+        step_g = (jnp.sum(over, axis=1) / jnp.maximum(
+            jnp.max(jnp.abs(grad_g), axis=1), 1e-9))[:, None]
+        disp_t = jnp.clip(cur_disp - step_g * grad_g, 0.0, gcap_)
+        disp_t = _rebalance_shed(disp_t, gcap_, served_)
+        # shed adjustment
+        grad = w @ ptdf_load                          # [*, nd]
+        grad = grad - jnp.mean(grad, axis=1, keepdims=True)
+        step_sz = (deficit_ / jnp.maximum(
+            jnp.max(jnp.abs(grad), axis=1), 1e-9))[:, None]
+        trial = jnp.clip(cur_shed - step_sz * grad, 0.0, lp_)
+        trial = _rebalance_shed(trial, lp_, deficit_)
+        post_t = post_flows_(flows_full_(disp_t, trial))
+        ok_trial = jnp.all(jnp.abs(post_t) <= rate_ok, axis=1)
+        # the rank-1-corrected check is exact only for n_out <= 1
+        newly = ~best_ok_ & ok_trial & elig_
+        best_shed_ = jnp.where(newly[:, None], trial, best_shed_)
+        best_disp_ = jnp.where(newly[:, None], disp_t, best_disp_)
+        best_ok_ = best_ok_ | ok_trial
+        cur_shed, cur_disp, cur_post = trial, disp_t, post_t
+    return best_ok_, best_shed_, best_disp_
+
+
+def _woodbury_multi_ok(sys: System, flows: jax.Array, br_down: jax.Array,
+                       n_out: jax.Array, rate_ok: jax.Array,
+                       woodbury_k: int) -> jax.Array:
+    """MULTI-branch-outage certificate check: exact rank-k Woodbury flow
+    update for outage sets of size 2..woodbury_k. With outage set K and
+    a = branch-transfer sensitivities, solve (I - a[K, K]) c = f_K,
+    then f' = f + a[:, K] c — exact unless removing K islands the
+    network (singular E -> falls through to the LP).
+    Gather-free: one-hot selectors (an iota compare, elementwise) turn
+    every per-lane row/column/element pick of br_transfer into shared
+    MXU matmuls and masked reductions — no serialized TPU gathers —
+    and the k x k solve is an unrolled Cramer expansion (elementwise
+    VPU code). Unused selector slots (n_out < k) have h_i = 0, which
+    reduces E to an identity-padded block and c_i to 0 exactly."""
+    dt = flows.dtype
+    kk = int(woodbury_k)
+    multi = (n_out >= 2) & (n_out <= kk)
+    rem = br_down
+    hs, fk, rows = [], [], []
+    for _ in range(kk):
+        ki = jnp.argmax(rem, axis=1)
+        vi = jnp.max(rem, axis=1)                    # 1.0 iff a slot used
+        hi = jax.nn.one_hot(ki, br_down.shape[1], dtype=dt) * vi[:, None]
+        rem = rem * (1.0 - hi)
+        hs.append(hi)
+        rows.append(hi @ sys.br_transfer)            # br_transfer[k_i, :]
+        fk.append(jnp.sum(flows * hi, axis=1))
+    E = [[(1.0 if i == j else 0.0) - jnp.sum(rows[i] * hs[j], axis=1)
+          for j in range(kk)] for i in range(kk)]
+    det = _unrolled_det(E)
+    nonsing = jnp.abs(det) > 1e-5
+    safe_det = jnp.where(nonsing, det, 1.0)
+    cs = _cramer_solve(E, fk, safe_det)
+    # sum_i br_transfer[:, k_i] * c_i, as one matmul.
+    corr = cs[0][:, None] * hs[0]
+    for ci, hi in zip(cs[1:], hs[1:]):
+        corr = corr + ci[:, None] * hi
+    post_m = (flows + corr @ sys.br_transfer.T) * (1.0 - br_down)
+    return (multi & nonsing
+            & jnp.all(jnp.abs(post_m) <= rate_ok, axis=1))
+
+
 def certify_states(sys: System, comp_down: jax.Array, load_pu: jax.Array,
                    shed_hint: jax.Array | None = None,
                    repair_iters: int = 3,
@@ -328,31 +458,10 @@ def certify_states(sys: System, comp_down: jax.Array, load_pu: jax.Array,
     load_tot = jnp.sum(load_pu, axis=1)                # [B]
     deficit = jnp.maximum(load_tot - cap, 0.0)
 
-    prop = load_pu * (deficit / jnp.maximum(load_tot, 1e-9))[:, None]
-    if shed_hint is None:
-        cand = prop
-    else:
-        hint_sum = jnp.sum(shed_hint, axis=1)
-        scaled = shed_hint * (deficit / jnp.maximum(hint_sum, 1e-9))[:, None]
-        cand = jnp.where((hint_sum > 1e-6)[:, None], scaled, prop)
-    cand = jnp.minimum(cand, load_pu)
-
     served = load_tot - deficit
-    cand = _rebalance_shed(cand, load_pu, deficit)
-
-    # Locally self-balancing dispatch candidate: each bus's generators
-    # first cover that bus's (post-shed) load, and only the residual is
-    # pooled across the remaining headroom. This keeps nodal injections —
-    # and therefore candidate flows — near zero, which is what lets the
-    # certificate pass on multi-area systems where a uniform-alpha
-    # dispatch would force large inter-area transfers.
+    cand = _shed_candidate(sys, load_pu, deficit, load_tot, shed_hint)
     gen_cap = sys.gen_pmax[None, :] * gen_up               # [B, ng]
-    served_bus = (load_pu - cand) @ sys.load_onehot.T      # [B, nb]
-    cap_bus = gen_cap @ sys.gen_bus_onehot.T               # [B, nb]
-    local_frac = jnp.minimum(
-        served_bus / jnp.maximum(cap_bus, 1e-9), 1.0)      # [B, nb]
-    disp_local = gen_cap * (local_frac @ sys.gen_bus_onehot)
-    dispatch = _rebalance_shed(disp_local, gen_cap, served)
+    dispatch = _dispatch_candidate(sys, gen_cap, load_pu, cand, served)
 
     def flows_of(shed):
         inj = (dispatch @ sys.gen_bus_onehot.T + shed @ sys.load_onehot.T
@@ -400,51 +509,9 @@ def certify_states(sys: System, comp_down: jax.Array, load_pu: jax.Array,
     ptdf_gen = sys.ptdf @ sys.gen_bus_onehot              # [nl, ng]
     gen_cap = sys.gen_pmax[None, :] * gen_up              # [B, ng]
 
-    def repair_loop(lp_, cand_, disp_, gcap_, brd_, served_, deficit_,
-                    post0_, ok0_):
-        """The descent, parameterized over the (possibly compacted) lane
-        set. Per-lane math is identical in both modes; the full-batch
-        mode passes the whole batch through."""
-        load_bus_ = lp_ @ sys.load_onehot.T
-
-        def flows_full_(disp, shed):
-            inj = (disp @ sys.gen_bus_onehot.T + shed @ sys.load_onehot.T
-                   - load_bus_)
-            return inj @ sys.ptdf.T
-
-        def post_flows_(f):
-            return (f + (brd_ * f) @ sys.lodf.T) * (1.0 - brd_)
-
-        best_ok_, best_shed_, best_disp_ = ok0_, cand_, disp_
-        cur_shed, cur_disp, cur_post = cand_, disp_, post0_
-        elig_ = jnp.sum(brd_, axis=1) <= 1
-        for _ in range(repair_iters):
-            over = jnp.maximum(jnp.abs(cur_post) - sys.br_rate[None, :], 0.0)
-            sgn_over = jnp.sign(cur_post) * over
-            w = sgn_over + brd_ * (sgn_over @ sys.lodf)   # [*, nl]
-            # dispatch adjustment (scaled to the larger of the two totals)
-            grad_g = w @ ptdf_gen                         # [*, ng]
-            grad_g = grad_g - jnp.mean(grad_g, axis=1, keepdims=True)
-            step_g = (jnp.sum(over, axis=1) / jnp.maximum(
-                jnp.max(jnp.abs(grad_g), axis=1), 1e-9))[:, None]
-            disp_t = jnp.clip(cur_disp - step_g * grad_g, 0.0, gcap_)
-            disp_t = _rebalance_shed(disp_t, gcap_, served_)
-            # shed adjustment
-            grad = w @ ptdf_load                          # [*, nd]
-            grad = grad - jnp.mean(grad, axis=1, keepdims=True)
-            step_sz = (deficit_ / jnp.maximum(
-                jnp.max(jnp.abs(grad), axis=1), 1e-9))[:, None]
-            trial = jnp.clip(cur_shed - step_sz * grad, 0.0, lp_)
-            trial = _rebalance_shed(trial, lp_, deficit_)
-            post_t = post_flows_(flows_full_(disp_t, trial))
-            ok_trial = jnp.all(jnp.abs(post_t) <= rate_ok, axis=1)
-            # the rank-1-corrected check is exact only for n_out <= 1
-            newly = ~best_ok_ & ok_trial & elig_
-            best_shed_ = jnp.where(newly[:, None], trial, best_shed_)
-            best_disp_ = jnp.where(newly[:, None], disp_t, best_disp_)
-            best_ok_ = best_ok_ | ok_trial
-            cur_shed, cur_disp, cur_post = trial, disp_t, post_t
-        return best_ok_, best_shed_, best_disp_
+    def repair_loop(*lane_args):
+        return _repair_descent(sys, repair_iters, rate_ok, ptdf_gen,
+                               ptdf_load, *lane_args)
 
     if repair_iters > 0 and repair_buffer is not None:
         # Compacted repair: only lanes that failed the first check AND
@@ -478,46 +545,142 @@ def certify_states(sys: System, comp_down: jax.Array, load_pu: jax.Array,
     # applies to deficit > 0 states too, intact or single-outage alike.
     certified = eligible & best_ok
 
-    # MULTI-branch-outage extension: exact rank-k Woodbury flow update
-    # for outage sets of size 2..woodbury_k. With outage set K and
-    # a = branch-transfer sensitivities, solve (I - a[K, K]) c = f_K,
-    # then f' = f + a[:, K] c — exact unless removing K islands the
-    # network (singular E -> falls through to the LP).
-    # Gather-free: one-hot selectors (an iota compare, elementwise) turn
-    # every per-lane row/column/element pick of br_transfer into shared
-    # MXU matmuls and masked reductions — no serialized TPU gathers —
-    # and the k x k solve is an unrolled Cramer expansion (elementwise
-    # VPU code). Unused selector slots (n_out < k) have h_i = 0, which
-    # reduces E to an identity-padded block and c_i to 0 exactly.
-    kk = int(woodbury_k)
-    multi = (n_out >= 2) & (n_out <= kk)
-    rem = br_down
-    hs, fk, rows = [], [], []
-    for _ in range(kk):
-        ki = jnp.argmax(rem, axis=1)
-        vi = jnp.max(rem, axis=1)                    # 1.0 iff a slot used
-        hi = jax.nn.one_hot(ki, br_down.shape[1], dtype=dt) * vi[:, None]
-        rem = rem * (1.0 - hi)
-        hs.append(hi)
-        rows.append(hi @ sys.br_transfer)            # br_transfer[k_i, :]
-        fk.append(jnp.sum(flows * hi, axis=1))
-    E = [[(1.0 if i == j else 0.0) - jnp.sum(rows[i] * hs[j], axis=1)
-          for j in range(kk)] for i in range(kk)]
-    det = _unrolled_det(E)
-    nonsing = jnp.abs(det) > 1e-5
-    safe_det = jnp.where(nonsing, det, 1.0)
-    cs = _cramer_solve(E, fk, safe_det)
-    # sum_i br_transfer[:, k_i] * c_i, as one matmul.
-    corr = cs[0][:, None] * hs[0]
-    for ci, hi in zip(cs[1:], hs[1:]):
-        corr = corr + ci[:, None] * hi
-    post_m = (flows + corr @ sys.br_transfer.T) * (1.0 - br_down)
-    multi_ok = (multi & nonsing
-                & jnp.all(jnp.abs(post_m) <= rate_ok, axis=1))
-    certified = certified | multi_ok
+    certified = certified | _woodbury_multi_ok(sys, flows, br_down, n_out,
+                                               rate_ok, woodbury_k)
 
     return Certificate(certified=certified, deficit=deficit,
                        shed=cand, dispatch=dispatch)
+
+
+def calibrate_shed_hint(sys: System, batch: int = 8192,
+                        seed: int = 987) -> np.ndarray | None:
+    """One-time static shed-direction calibration for the certificate.
+
+    At RTS-24 peak ~83% of deficit > 0 lanes FAIL the first post-outage
+    flow check under the load-proportional shed (the forced
+    all-gens-at-max dispatch overloads a line) and are then rescued by
+    <= 3 repair-descent iterations — i.e. the repaired patterns are
+    structurally similar across states (at RTS-24 they zero bus 7's
+    share and spread it). This harvests that structure once: sample a
+    deterministic calibration batch, collect the repaired sheds of
+    first-check failures, and return their mean normalized pattern
+    ([n_load], sums to 1). Passing it as ``shed_hint`` makes the FIRST
+    pass certify 99.963% of lanes — better than proportional + 3
+    repairs (99.954%) — measured in scripts/probe_shed_hint.py, so the
+    repair compaction buffer shrinks ~16x and the fused kernel's finish
+    set collapses. The hint only selects WHICH optimal candidate is
+    tried: certification (DNS = copper deficit with feasible flows)
+    is proven per state as before, so a stale or wrong hint costs LP
+    routing, never correctness.
+
+    Returns None when the calibration batch has too few rescued lanes
+    to average (keep the proportional candidate then).
+    """
+    from powersystemsreliabilityassessment_tpu.sampling.state import (
+        sample_states)
+    key = jax.random.key(seed)
+    down = sample_states(key, sys.unavail, sys.always_up_nsq, batch)
+    load = jnp.broadcast_to(sys.load_pd[None, :], (batch, sys.load_pd
+                                                   .shape[0]))
+    r0 = certify_states(sys, down, load, repair_iters=0)
+    r3 = certify_states(sys, down, load)
+    rescued = np.asarray(r3.certified & ~r0.certified)
+    if int(rescued.sum()) < 32:
+        return None
+    shed = np.asarray(r3.shed, np.float64)[rescued]
+    pat = (shed / np.maximum(shed.sum(axis=1, keepdims=True),
+                             1e-9)).mean(axis=0)
+    s = float(pat.sum())
+    if not np.isfinite(s) or s <= 0:
+        return None
+    return (pat / s).astype(np.float32)
+
+
+def default_finish_buffer(batch: int) -> int:
+    """Lane buffer for ``certify_finish``: the fused kernel's first
+    pass leaves ~8.2% of RTS-24 peak lanes uncertified — the ~7.0%
+    repair-needy deficit states every first pass misses
+    (scripts/probe_firstpass_rate.py; see ``default_repair_buffer``)
+    plus ~1.1% routed by the kernel's rounding guard band and ~0.1%
+    multi-branch lanes — so ``batch // 8`` matches the repair-buffer
+    policy with ~1.5x headroom. Overflowed lanes simply stay
+    uncertified and ride the LP buffer's own overflow accounting."""
+    return min(batch, max(1024, batch // 8))
+
+
+def certify_finish(sys: System, comp_down: jax.Array, load_pu: jax.Array,
+                   deficit: jax.Array, shed: jax.Array, ok1: jax.Array,
+                   finish_buffer: int, repair_iters: int = 3,
+                   woodbury_k: int = 2) -> Certificate:
+    """Complete a first-pass certificate (ops/fused_sampler_cert.py)
+    into the full ``certify_states`` result.
+
+    The fused kernel certifies the quick path (copper deficit +
+    candidate + LODF-corrected first flow check, minus a rigorous
+    rounding guard band). This runs everything it left out, compacted
+    onto ``finish_buffer`` lanes: a plain-f32 re-check at the standard
+    tolerance (recovers the guard-band gray zone), the repair descent,
+    and the rank-``woodbury_k`` Woodbury multi-outage check. Lanes the
+    buffer cannot hold stay uncertified and fall to the LP (the max_lp
+    overflow accounting is the safety net, as everywhere else).
+
+    ``dispatch`` in the returned Certificate is zeros except on
+    finish-repaired lanes: the screened evaluator only consumes it as
+    the gen-dispatch fallback for lanes that never reach the LP, and
+    the study moments never read gen dispatch (hl2_nsq BatchMoments).
+    """
+    B = comp_down.shape[0]
+    ng = sys.n_gen
+    dt = sys.bus_pd.dtype
+    br_down_full = comp_down[:, ng:].astype(dt)
+    n_out_full = jnp.sum(br_down_full, axis=1)
+    kk = int(woodbury_k)
+    # Rescuable lanes: repair/islanding applies to n_out <= 1, Woodbury
+    # to 2..kk; deeper outage sets can only be decided by the LP.
+    need = ~ok1 & (n_out_full <= max(kk, 1))
+
+    fbuf = min(int(finish_buffer), B)
+    score = need.astype(jnp.int32) * (2 * B) - np.arange(B, dtype=np.int32)
+    _, idx = jax.lax.top_k(score, fbuf)
+    valid = (np.arange(fbuf, dtype=np.int32) < jnp.sum(need)) & need[idx]
+
+    lp_ = load_pu[idx]
+    gen_up_ = 1.0 - comp_down[idx, :ng].astype(dt)
+    brd_ = br_down_full[idx]
+    deficit_ = deficit[idx]
+    load_tot_ = jnp.sum(lp_, axis=1)
+    served_ = load_tot_ - deficit_
+    cand_ = _shed_candidate(sys, lp_, deficit_, load_tot_, shed[idx])
+    gen_cap_ = sys.gen_pmax[None, :] * gen_up_
+    disp_ = _dispatch_candidate(sys, gen_cap_, lp_, cand_, served_)
+
+    inj = (disp_ @ sys.gen_bus_onehot.T + cand_ @ sys.load_onehot.T
+           - lp_ @ sys.load_onehot.T)
+    flows_ = inj @ sys.ptdf.T
+    post0_ = (flows_ + (brd_ * flows_) @ sys.lodf.T) * (1.0 - brd_)
+    rate_ok = sys.br_rate[None, :] + 1e-4
+    elig_ = jnp.sum(brd_, axis=1) <= 1
+    # Plain-f32 re-check at the jnp tolerance: recovers lanes the
+    # kernel's guard band routed here (including zero-flow islanding).
+    ok0_ = elig_ & jnp.all(jnp.abs(post0_) <= rate_ok, axis=1)
+
+    ptdf_gen = sys.ptdf @ sys.gen_bus_onehot
+    ptdf_load = sys.ptdf @ sys.load_onehot
+    okr, bshed_, bdisp_ = _repair_descent(
+        sys, repair_iters, rate_ok, ptdf_gen, ptdf_load,
+        lp_, cand_, disp_, gen_cap_, brd_, served_, deficit_,
+        post0_, ok0_)
+    cert_ = (elig_ & okr) | _woodbury_multi_ok(
+        sys, flows_, brd_, jnp.sum(brd_, axis=1), rate_ok, kk)
+    upd = valid & cert_
+
+    certified = ok1.at[idx].set(ok1[idx] | upd)
+    shed = shed.at[idx].set(jnp.where(upd[:, None], bshed_, shed[idx]))
+    dispatch = jnp.zeros((B, ng), dt)
+    dispatch = dispatch.at[idx].set(jnp.where(upd[:, None], bdisp_,
+                                              dispatch[idx]))
+    return Certificate(certified=certified, deficit=deficit, shed=shed,
+                       dispatch=dispatch)
 
 
 def overgen_infeasible(sys: System, comp_down: jax.Array,
@@ -720,7 +883,8 @@ def evaluate_states(sys: System, comp_down: jax.Array, load_pu: jax.Array,
 
 
 def default_repair_buffer(batch: int,
-                          outage_boost: float = 1.0) -> int | None:
+                          outage_boost: float = 1.0,
+                          hinted: bool = False) -> int | None:
     """Compacted-repair buffer policy for ``certify_states``.
 
     Plain-MC regime at RTS-24 peak: ~7.0% of lanes fail the first
@@ -741,10 +905,15 @@ def default_repair_buffer(batch: int,
     calls keep the ``None`` default directly) must repair full-batch —
     their needy fraction is larger still, and overflowed lanes would
     all fall to the LP buffer instead.
+
+    ``hinted=True``: the caller passes a ``calibrate_shed_hint``
+    pattern, which collapses the first-check failures to ~0.04% of
+    lanes (96 of 262144 measured) — ``batch // 64`` then still leaves
+    ~40x headroom.
     """
     if outage_boost > 1.0:
         return None
-    return min(batch, max(2048, batch // 8))
+    return min(batch, max(2048, batch // (64 if hinted else 8)))
 
 
 @partial(jax.jit, static_argnames=("compat", "ipm", "max_lp", "nodal_mode",
@@ -755,7 +924,9 @@ def evaluate_states_screened(sys: System, comp_down: jax.Array,
                              ipm: IPMConfig = IPMConfig(),
                              nodal_mode: str = "lp",
                              repair_buffer: int | None = None,
-                             woodbury_k: int = 2):
+                             woodbury_k: int = 2,
+                             pre: Certificate | None = None,
+                             shed_hint: jax.Array | None = None):
     """Screened evaluation: run the LP only on states that need it.
 
     States certified at ZERO deficit are resolved by Tier 1 alone; states
@@ -781,24 +952,42 @@ def evaluate_states_screened(sys: System, comp_down: jax.Array,
     ``repair_buffer`` (static) is forwarded to ``certify_states``:
     compacted certificate repair for sparse-outage (plain-MC) regimes —
     see ``default_repair_buffer``. ``None`` keeps full-batch repair.
+
+    ``pre``: a Certificate computed by the caller replaces the Tier-1
+    pass here — the fused sampler+certificate kernel path
+    (ops/fused_sampler_cert.py + ``certify_finish``) uses this to hand
+    over its completed certificate. Incompatible with
+    ``compat.island_blackout`` (the certificate must see the
+    blackout-modified states).
+
+    ``shed_hint``: [n_load] static shed-direction pattern from
+    ``calibrate_shed_hint`` (broadcast per lane); makes the first
+    certificate pass near-complete so ``repair_buffer`` can shrink
+    (``default_repair_buffer(hinted=True)``). Ignored when ``pre`` is
+    given (the kernel applied its own candidate).
     """
     B = comp_down.shape[0]
     extra_nodal = None
     if compat.island_blackout:
+        assert pre is None, \
+            "island_blackout modifies states before certification; " \
+            "compute the certificate inside (pre=None)"
         comp_down, load_pu, extra_nodal = apply_island_blackout(
             sys, comp_down, load_pu)
         compat = dataclasses.replace(compat, island_blackout=False)
 
-    # Tier 1 stays on the jnp/XLA path on ALL backends: a fully fused
-    # Pallas version exists (ops/certify_kernel.py, bit-close parity)
-    # but measured 2.3x SLOWER on hardware — the certificate's matmuls
-    # have K,N <= n_branch, so inside a kernel each one pads to full
-    # 128x128 MXU passes, while XLA lowers this graph to something
-    # merely bandwidth-bound (~5.9 ms at B=262144). See the kernel's
-    # docstring for the measurement.
-    pre = certify_states(sys, comp_down, load_pu,
-                         repair_buffer=repair_buffer,
-                         woodbury_k=woodbury_k)
+    if pre is None:
+        # Tier 1 on the jnp/XLA path: the default on ALL backends. A
+        # fully fused Pallas version of THIS graph (ops/certify_kernel
+        # .py) measured 2.3x slower (6-pass HIGHEST dots on every
+        # matmul); the production fused path instead samples+certifies
+        # in one precision-graded kernel and passes the result in as
+        # ``pre`` (ops/fused_sampler_cert.py).
+        hint_b = (None if shed_hint is None else jnp.broadcast_to(
+            shed_hint[None, :], load_pu.shape))
+        pre = certify_states(sys, comp_down, load_pu, shed_hint=hint_b,
+                             repair_buffer=repair_buffer,
+                             woodbury_k=woodbury_k)
     if nodal_mode == "proportional":
         need_lp = ~pre.certified
     else:

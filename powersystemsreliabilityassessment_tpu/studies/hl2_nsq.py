@@ -96,7 +96,9 @@ def make_nsq_batch_step(sys: System, mesh: Mesh, batch_per_device: int,
                         cv_arrays: tuple | None = None,
                         enum_order: int = 0,
                         is_boost_scope: str = "all",
-                        woodbury_k: int | None = None):
+                        woodbury_k: int | None = None,
+                        fused_tier1: bool = False,
+                        shed_hint: np.ndarray | None = None):
     """Build the jitted, mesh-sharded one-batch step: key -> BatchMoments.
 
     ``cv_arrays = (gen_cap_mw [ng] f32, total_load_mw, mu_e, mu_l)``
@@ -129,6 +131,22 @@ def make_nsq_batch_step(sys: System, mesh: Mesh, batch_per_device: int,
         gen_only_mask = jnp.asarray(
             np.arange(sys.n_comp) < sys.n_gen)
 
+    if fused_tier1:
+        from powersystemsreliabilityassessment_tpu.ops import (
+            fused_sampler_cert)
+        # The fused kernel draws plain-MC states with the hardware PRNG
+        # and certifies them in one VMEM-resident pass; every other
+        # sampling transformation (pairing, likelihood weights, the
+        # enumeration tail mask's exact-mean offsets, blackout state
+        # rewrites) belongs to the threefry/jnp path.
+        assert not (antithetic or is_boost > 0 or enum_order > 0
+                    or compat.island_blackout), \
+            "fused_tier1 supports plain MC only"
+        assert fused_sampler_cert.supported(sys), \
+            "fused_tier1: system exceeds one 128-lane block"
+        if jax.default_backend() != "tpu":
+            fused_tier1 = False   # no hardware PRNG off-TPU
+
     if cv_arrays is not None:
         gen_cap_mw = jnp.asarray(cv_arrays[0], jnp.float32)
         total_load_mw = np.float32(cv_arrays[1])  # host constant
@@ -139,7 +157,21 @@ def make_nsq_batch_step(sys: System, mesh: Mesh, batch_per_device: int,
         # per-constant device fetches at lowering through the TPU relay).
         dev = jax.lax.axis_index(meshlib.SCENARIO_AXIS)
         k = jax.random.fold_in(key, dev)
-        if is_boost > 0:
+        pre = None
+        if fused_tier1:
+            from powersystemsreliabilityassessment_tpu.ops import (
+                fused_sampler_cert)
+            down, ok1, deficit, shed = \
+                fused_sampler_cert.sample_certify_quick(
+                    k, sys, batch_per_device)
+            weight = None
+            load = jnp.broadcast_to(sys.load_pd[None, :],
+                                    (batch_per_device, sys.n_load))
+            pre = dcopf.certify_finish(
+                sys, down, load, deficit, shed, ok1,
+                dcopf.default_finish_buffer(batch_per_device),
+                woodbury_k=woodbury_k)
+        elif is_boost > 0:
             down, weight = sample_states_importance(
                 k, sys.unavail, sys.always_up_nsq, batch_per_device,
                 is_boost, boost_mask=gen_only_mask)
@@ -147,14 +179,21 @@ def make_nsq_batch_step(sys: System, mesh: Mesh, batch_per_device: int,
             down = sample_states(k, sys.unavail, sys.always_up_nsq,
                                  batch_per_device, antithetic=antithetic)
             weight = None
-        load = jnp.broadcast_to(sys.load_pd[None, :],
-                                (batch_per_device, sys.n_load))
+        if pre is None:
+            load = jnp.broadcast_to(sys.load_pd[None, :],
+                                    (batch_per_device, sys.n_load))
+        # The hint is a tiny host constant ([n_load] literal in the
+        # jaxpr), not a device-resident closure array — safe for the
+        # trace-time rules that apply to System (see device_step note).
+        hint = (None if shed_hint is None
+                else jnp.asarray(shed_hint, jnp.float32))
         res, n_over = dcopf.evaluate_states_screened(
             sys, down, load, max_lp, compat, ipm, nodal_mode,
             repair_buffer=dcopf.default_repair_buffer(
                 batch_per_device,
-                max(is_boost, 1.0) if is_boost_scope == "all" else 1.0),
-            woodbury_k=woodbury_k)
+                max(is_boost, 1.0) if is_boost_scope == "all" else 1.0,
+                hinted=shed_hint is not None),
+            woodbury_k=woodbury_k, pre=pre, shed_hint=hint)
         if enum_order > 0:
             # Tail mask: low-order states are counted exactly by the
             # enumeration pre-pass; only #down > enum_order contributes
@@ -302,13 +341,25 @@ def run_nsq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
         raise ValueError("enum_order and control_variate are mutually "
                          "exclusive (both carry exact-mean offsets)")
 
+    # Static shed-direction calibration (dcopf.calibrate_shed_hint):
+    # one deterministic pilot batch, then the first certificate pass
+    # closes ~99.96% of lanes and the repair buffer shrinks 8x.
+    # Correctness never depends on the hint (a bad hint only routes
+    # more lanes to the LP), so any calibration outcome is safe.
+    shed_hint = dcopf.calibrate_shed_hint(sys)
+    if log_every and shed_hint is None:
+        print("shed-hint calibration: too few repairable lanes; "
+              "keeping the load-proportional candidate")
+
     step = make_nsq_batch_step(sys, mesh, bpd, compat, ipm, max_lp=max_lp,
                                antithetic=cfg.antithetic,
                                nodal_mode=cfg.nodal_mode,
                                is_boost=cfg.is_boost, cv_arrays=cv_arrays,
                                enum_order=enum_order,
                                is_boost_scope=cfg.is_boost_scope,
-                               woodbury_k=cfg.woodbury_k)
+                               woodbury_k=cfg.woodbury_k,
+                               fused_tier1=cfg.fused_tier1,
+                               shed_hint=shed_hint)
     root = jax.random.key(cfg.seed)
 
     stats = accumulators.RunningStats()
@@ -370,7 +421,9 @@ def run_nsq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
                     is_boost=cfg.is_boost, cv_arrays=cv_arrays,
                     enum_order=enum_order,
                     is_boost_scope=cfg.is_boost_scope,
-                    woodbury_k=cfg.woodbury_k)
+                    woodbury_k=cfg.woodbury_k,
+                    fused_tier1=cfg.fused_tier1,
+                    shed_hint=shed_hint)
                 return True
             overflow += int(n_over)  # buffer already at batch size
         infeasible += int(n_infeas)

@@ -517,3 +517,45 @@ def test_default_repair_buffer_policy():
     assert dcopf.default_repair_buffer(262144) > 18446
     assert dcopf.default_repair_buffer(1024) == 1024
     assert dcopf.default_repair_buffer(262144, outage_boost=8.0) is None
+    # with a calibrated shed hint the needy fraction collapses to
+    # ~0.04%, so the hinted buffer shrinks 8x
+    assert dcopf.default_repair_buffer(262144, hinted=True) == 4096
+
+
+def test_shed_hint_calibration_and_equivalence(sys24):
+    """calibrate_shed_hint returns a normalized pattern; the hinted
+    first pass certifies at least as much as proportional + repair;
+    and the screened evaluation's aggregate DNS is unchanged (the hint
+    only picks a different point of the same optimal face)."""
+    hint = dcopf.calibrate_shed_hint(sys24, batch=4096)
+    assert hint is not None and hint.shape == (sys24.n_load,)
+    assert abs(float(hint.sum()) - 1.0) < 1e-5
+    assert (hint >= 0).all()
+
+    p = jnp.minimum(sys24.unavail * 8.0, 0.5)
+    down = (jax.random.uniform(jax.random.key(31), (2048, p.shape[0]))
+            < p[None, :]) & ~sys24.always_up_nsq[None, :]
+    load = jnp.broadcast_to(sys24.load_pd[None, :],
+                            (down.shape[0], sys24.n_load))
+    hint_b = jnp.broadcast_to(jnp.asarray(hint)[None, :], load.shape)
+    r_hint = dcopf.certify_states(sys24, down, load, shed_hint=hint_b,
+                                  repair_iters=0)
+    r_prop = dcopf.certify_states(sys24, down, load)
+    ch, cp = np.asarray(r_hint.certified), np.asarray(r_prop.certified)
+    assert ch.sum() >= 0.99 * cp.sum()
+    # certified sheds still sum to the copper deficit
+    c = ch
+    np.testing.assert_allclose(
+        np.asarray(r_hint.shed, np.float64)[c].sum(axis=1),
+        np.asarray(r_hint.deficit, np.float64)[c], atol=2e-4)
+
+    compat, ipm = CompatFlags(), IPMConfig()
+    res_h, ov_h = dcopf.evaluate_states_screened(
+        sys24, down, load, 2048, compat, ipm, "proportional",
+        shed_hint=jnp.asarray(hint))
+    res_p, ov_p = dcopf.evaluate_states_screened(
+        sys24, down, load, 2048, compat, ipm, "proportional")
+    assert int(ov_h) == 0 and int(ov_p) == 0
+    np.testing.assert_allclose(np.asarray(res_h.dns_mw),
+                               np.asarray(res_p.dns_mw), atol=5e-3)
+    assert (np.asarray(res_h.failure) == np.asarray(res_p.failure)).all()
