@@ -48,6 +48,11 @@ def build_parser() -> argparse.ArgumentParser:
     nsq.add_argument("--early-exit", action="store_true",
                      help="fused-IPM whole-block early exit + difficulty-"
                           "ordered LP compaction (IPMConfig.early_exit)")
+    nsq.add_argument("--fused-tier1", action="store_true",
+                     help="fused hardware-PRNG sampler + certificate "
+                          "Pallas kernel (plain MC, RTS-24-class "
+                          "systems, TPU only; different PRNG stream "
+                          "than the default threefry path)")
     nsq.add_argument("--enum-order", type=int, default=0,
                      help="contingency-enumeration hybrid: evaluate every "
                           "state with <= K outages exactly (f64-weighted "
@@ -156,7 +161,8 @@ def main() -> None:
             batch_size=args.batch, max_samples=args.samples,
             beta_limit=args.beta, seed=args.seed,
             is_boost=args.is_boost,
-            is_boost_scope=args.is_boost_scope), checkpointer=ck,
+            is_boost_scope=args.is_boost_scope,
+            fused_tier1=args.fused_tier1), checkpointer=ck,
             control_variate=args.control_variate,
             enum_order=args.enum_order,
             ipm=IPMConfig(early_exit=args.early_exit))

@@ -89,6 +89,16 @@ class MCSConfig:
     # the returned pattern is a different (equally optimal) point of the
     # same face; all aggregate indices identical, ~5-8x faster.
     nodal_mode: str = "lp"
+    # Fused hardware-PRNG sampler + first-pass certificate Pallas kernel
+    # (ops/fused_sampler_cert.py) for the NSQ hot path. Draws a
+    # DIFFERENT (hardware) PRNG stream than threefry, so same-seed
+    # results differ from the default path while the estimator
+    # distribution is identical; deterministic for a fixed (seed,
+    # batch, backend). Plain-MC only (no antithetic/importance
+    # sampling/enumeration/island_blackout), single-128-block systems
+    # (RTS-24-class). TPU only — other backends fall back to the jnp
+    # tier-1 path.
+    fused_tier1: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
