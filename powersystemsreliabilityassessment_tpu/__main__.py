@@ -36,11 +36,12 @@ def build_parser() -> argparse.ArgumentParser:
                      help="importance-sampling failure boost (0 = plain "
                           "MC; try 2-4 for rare-event regimes)")
     nsq.add_argument("--is-boost-scope", default="all",
-                     choices=["all", "gens"],
+                     choices=["all", "gens", "branches"],
                      help="components the boost applies to: 'gens' "
                           "leaves branch rates at the true measure, "
-                          "preserving the certificate closure rate "
-                          "(recommended at case300 scale)")
+                          "preserving the certificate closure rate; "
+                          "'branches' targets transmission/islanding-"
+                          "driven risk (case300-class systems)")
     nsq.add_argument("--control-variate", action="store_true",
                      help="copper-sheet control variate with exact f64 "
                           "COPT mean (composes with --is-boost and "

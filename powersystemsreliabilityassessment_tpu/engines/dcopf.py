@@ -553,7 +553,8 @@ def certify_states(sys: System, comp_down: jax.Array, load_pu: jax.Array,
 
 
 def calibrate_shed_hint(sys: System, batch: int = 8192,
-                        seed: int = 987) -> np.ndarray | None:
+                        seed: int = 987,
+                        margin_frac: float = 0.02) -> np.ndarray | None:
     """One-time static shed-direction calibration for the certificate.
 
     At RTS-24 peak ~83% of deficit > 0 lanes FAIL the first post-outage
@@ -573,17 +574,29 @@ def calibrate_shed_hint(sys: System, batch: int = 8192,
     is proven per state as before, so a stale or wrong hint costs LP
     routing, never correctness.
 
+    ``margin_frac``: the calibration repairs run against branch
+    ratings tightened by this fraction, so harvested patterns clear
+    the REAL limits with ~margin_frac * rate of slack. Without it the
+    repair descent stops exactly at feasibility, the mean pattern
+    inherits near-binding flows, and the fused kernel's rounding guard
+    band (ops/fused_sampler_cert.py) rejects almost every hinted
+    deficit lane it should accept (measured: hinted kernel first-pass
+    stuck at 16% of deficit lanes vs 99.6% for the unguarded f32
+    check).
+
     Returns None when the calibration batch has too few rescued lanes
     to average (keep the proportional candidate then).
     """
     from powersystemsreliabilityassessment_tpu.sampling.state import (
         sample_states)
+    sys_tight = dataclasses.replace(
+        sys, br_rate=sys.br_rate * (1.0 - margin_frac))
     key = jax.random.key(seed)
     down = sample_states(key, sys.unavail, sys.always_up_nsq, batch)
     load = jnp.broadcast_to(sys.load_pd[None, :], (batch, sys.load_pd
                                                    .shape[0]))
-    r0 = certify_states(sys, down, load, repair_iters=0)
-    r3 = certify_states(sys, down, load)
+    r0 = certify_states(sys_tight, down, load, repair_iters=0)
+    r3 = certify_states(sys_tight, down, load, repair_iters=6)
     rescued = np.asarray(r3.certified & ~r0.certified)
     if int(rescued.sum()) < 32:
         return None
@@ -596,16 +609,20 @@ def calibrate_shed_hint(sys: System, batch: int = 8192,
     return (pat / s).astype(np.float32)
 
 
-def default_finish_buffer(batch: int) -> int:
-    """Lane buffer for ``certify_finish``: the fused kernel's first
-    pass leaves ~8.2% of RTS-24 peak lanes uncertified — the ~7.0%
-    repair-needy deficit states every first pass misses
-    (scripts/probe_firstpass_rate.py; see ``default_repair_buffer``)
-    plus ~1.1% routed by the kernel's rounding guard band and ~0.1%
-    multi-branch lanes — so ``batch // 8`` matches the repair-buffer
-    policy with ~1.5x headroom. Overflowed lanes simply stay
-    uncertified and ride the LP buffer's own overflow accounting."""
-    return min(batch, max(1024, batch // 8))
+def default_finish_buffer(batch: int, hinted: bool = False) -> int:
+    """Lane buffer for ``certify_finish``: without a shed hint the
+    fused kernel's first pass leaves ~8.2% of RTS-24 peak lanes
+    uncertified — the ~7.0% repair-needy deficit states every
+    proportional first pass misses (scripts/probe_firstpass_rate.py;
+    see ``default_repair_buffer``) plus ~1.1% routed by the kernel's
+    rounding guard band and ~0.1% multi-branch lanes — so
+    ``batch // 8`` matches the repair-buffer policy with ~1.5x
+    headroom. With a ``calibrate_shed_hint`` pattern the repair-needy
+    class collapses and only the guard band (~1.1%) and multi-branch
+    lanes remain: ``batch // 32`` (~2.4x headroom). Overflowed lanes
+    simply stay uncertified and ride the LP buffer's own overflow
+    accounting."""
+    return min(batch, max(1024, batch // (32 if hinted else 8)))
 
 
 def certify_finish(sys: System, comp_down: jax.Array, load_pu: jax.Array,

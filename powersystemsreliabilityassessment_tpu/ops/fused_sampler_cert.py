@@ -15,8 +15,20 @@ indicator matrix (consumed by the LP router, the moments, and component
 importance), the f32 deficit, the first-pass certificate mask, and the
 shed candidate.
 
-Why the two previous fused attempts lost and this one doesn't
-(NEXT.md #15/#16, kept in-tree): the fused certificate kernel ran every
+STATUS (round 3, measured): kept OPT-IN as an engineering record —
+the full fused step measures 0.72x the default hinted path (14.3M vs
+19.9M median scen/s at B=262144, scripts/probe_fused_tier1.py).
+Two structural reasons, recorded in NEXT.md #18: (a) deficit > 0
+optima bind a line limit with exactly zero margin (all gens forced to
+max at the copper bound), so the rounding guard band below MUST route
+~7% of peak lanes to the f32 finish re-check no matter how the dots
+are graded; (b) the kernel itself lowers to ~9 ms vs the hinted jnp
+tier-1's ~10 ms (TILE-invariant; PRNG ~0.8 ms), so even a free finish
+pass caps the win at ~1.2x. Correctness is proven (hardware parity:
+sound subset, finish == certify_states exactly).
+
+Why the two previous fused attempts lost and this one was expected to
+win (NEXT.md #15/#16, kept in-tree): the fused certificate kernel ran every
 dot at 6-pass HIGHEST precision and included the full repair descent +
 Woodbury block (~40 matmuls of MXU-padding floor); the hw-PRNG sampler
 kernel produced for an XLA consumer across a fusion barrier. Here the
@@ -123,12 +135,20 @@ def _make_kernel(ng: int, nd: int, nl: int, ncomp: int, c_pad: int,
                            preferred_element_type=jnp.float32)
 
     def kernel(scal_ref, seed_ref, thresh_or_down_ref, load_ref,
-               loadbus_ref, pmax_ref, lohT_ref, gboh_ref, gbohT_ref,
-               ptdfT_ref, absptdfT_ref, lodfT_ref, abslodfT_ref, rate_ref,
+               hint_ref, loadbus_ref, pmax_ref, lohT_ref, gboh_ref,
+               gbohT_ref, ptdfT_ref, absptdfT_ref, lodfT_ref,
+               abslodfT_ref, rate_ref,
                down_ref, cert_ref, def_ref, shed_ref):
         f32 = jnp.float32
         load_tot = scal_ref[0]
         pmax_tot = scal_ref[1]
+
+        def rowsum(x):
+            # Lane-axis f32 reduction on the VPU: at most 128 sequential
+            # f32 adds (relative error <= 128 * 2^-24 ~ 7.6e-6), at
+            # least as faithful as the HIGHEST ones-vector dot it
+            # replaces and ~6 MXU passes cheaper per use.
+            return jnp.sum(x, axis=1, keepdims=True)
 
         if gen_rng:
             # Hardware PRNG, seeded exactly like ops.hw_sampler._kernel
@@ -152,44 +172,46 @@ def _make_kernel(ng: int, nd: int, nl: int, ncomp: int, c_pad: int,
         br_down = down[:, ng:ncomp]                        # [T, nl]
         gen_up = 1.0 - gen_down
 
-        ones_g = jnp.ones((ng, 1), f32)
-        ones_l = jnp.ones((nl, 1), f32)
-
-        # Exact copper deficit: cap = pmax_tot - sum(down_g * pmax_g).
-        # down is exactly representable in bf16 (0/1) but pmax is not,
-        # so this sum rides a HIGHEST (f32-faithful) dot — it IS the
-        # certified DNS bound.
+        # Exact copper deficit: cap = pmax_tot - sum(down_g * pmax_g),
+        # an f32 VPU row reduction — it IS the certified DNS bound.
         pmax_row = pmax_ref[...]                           # [1, ng]
-        cap = pmax_tot - dot(gen_down * pmax_row, ones_g, _HIGHEST)
+        cap = pmax_tot - rowsum(gen_down * pmax_row)
         deficit = jnp.maximum(load_tot - cap, 0.0)         # [T, 1]
 
-        # Load-proportional shed candidate at exactly the copper bound.
-        # prop_i = load_i * (deficit/load_tot) <= load_i since
-        # deficit <= load_tot, and sum_i prop_i = deficit * (sum load_i
-        # / load_tot) = deficit to f32 roundoff — the same tolerance the
-        # jnp path's _rebalance_shed leaves, so no rebalance pass is
-        # needed for THIS candidate (shed_hint=None always here).
+        # Hint-directed shed candidate at exactly the copper bound
+        # (dcopf.calibrate_shed_hint pattern; the caller passes
+        # load/load_tot when no hint exists, which reproduces the
+        # load-proportional candidate). Clip to per-load caps, then
+        # rebalance the clipped residual into the remaining headroom —
+        # the single-pass up-branch of dcopf._rebalance_shed (the
+        # clip only ever REMOVES shed, so resid <= 0 and sum(load) -
+        # sum(cand0) >= deficit - tot guarantees no stranding).
         load_row = load_ref[...]                           # [1, nd]
-        cand = load_row * (deficit / load_tot)             # [T, nd]
+        cand0 = jnp.minimum(hint_ref[...] * deficit, load_row)
+        tot0 = rowsum(cand0)                               # [T, 1]
+        head_l = load_row - cand0
+        head_lt = jnp.maximum(rowsum(head_l), 1e-9)
+        cand = jnp.minimum(cand0 + head_l * ((deficit - tot0) / head_lt),
+                           load_row)                       # [T, nd]
         served = load_tot - deficit                        # [T, 1]
 
         # Locally self-balancing dispatch (dcopf._dispatch_candidate).
         # The fractions only shape the candidate (gates certification),
         # so their dots run 1-pass; the rebalance TOTALS keep the
-        # candidate's power balance and ride HIGHEST dots.
+        # candidate's power balance and ride f32 row reductions.
         gen_cap = pmax_row * gen_up                        # [T, ng]
         served_bus = dot(load_row - cand, lohT_ref[...], _DEFAULT)
         cap_bus = dot(gen_cap, gbohT_ref[...], _DEFAULT)   # [T, nb]
         local_frac = jnp.minimum(
             served_bus / jnp.maximum(cap_bus, 1e-9), 1.0)
         disp_local = gen_cap * dot(local_frac, gboh_ref[...], _DEFAULT)
-        total = dot(disp_local, ones_g, _HIGHEST)          # [T, 1]
+        total = rowsum(disp_local)                         # [T, 1]
         resid = total - served
         down_scale = jnp.where(
             total > 1e-9,
             jnp.maximum(served, 0.0) / jnp.maximum(total, 1e-9), 0.0)
         headroom = jnp.maximum(gen_cap - disp_local, 0.0)
-        head_tot = jnp.maximum(dot(headroom, ones_g, _HIGHEST), 1e-9)
+        head_tot = jnp.maximum(rowsum(headroom), 1e-9)
         up = disp_local + headroom * ((-resid) / head_tot)
         dispatch = jnp.where(resid >= 0, disp_local * down_scale,
                              jnp.minimum(up, gen_cap))     # [T, ng]
@@ -214,12 +236,12 @@ def _make_kernel(ng: int, nd: int, nl: int, ncomp: int, c_pad: int,
         bound_post = 1.01 * (bound_f + bound_g)
 
         # Certify only with margin beyond the rounding bound. viol is an
-        # exact 0/1 mask, so its 1-pass count is exact.
+        # exact 0/1 mask, so its f32 row count is exact.
         rate_row = rate_ref[...]                           # [1, nl]
         viol = jnp.where(jnp.abs(post) > rate_row + 1e-4 - bound_post,
                          1.0, 0.0).astype(f32)
-        nviol = dot(viol, ones_l, _DEFAULT)                # [T, 1]
-        n_out = dot(br_down, ones_l, _DEFAULT)             # [T, 1]
+        nviol = rowsum(viol)                               # [T, 1]
+        n_out = rowsum(br_down)                            # [T, 1]
         ok1 = (nviol < 0.5) & (n_out <= 1.5)
 
         cert_ref[...] = jnp.where(ok1, 1.0, 0.0).astype(f32)
@@ -231,10 +253,10 @@ def _make_kernel(ng: int, nd: int, nl: int, ncomp: int, c_pad: int,
 
 @functools.partial(jax.jit, static_argnames=("ng", "nd", "nl", "nb",
                                              "ncomp", "batch", "gen_rng"))
-def _call_kernel(seeds, thresh_or_down, scal, load_row, loadbus_row,
-                 pmax_row, lohT, gboh, gbohT, ptdfT, absptdfT, lodfT,
-                 abslodfT, rate_row, *, ng, nd, nl, nb, ncomp, batch,
-                 gen_rng):
+def _call_kernel(seeds, thresh_or_down, scal, load_row, hint_row,
+                 loadbus_row, pmax_row, lohT, gboh, gbohT, ptdfT,
+                 absptdfT, lodfT, abslodfT, rate_row, *, ng, nd, nl, nb,
+                 ncomp, batch, gen_rng):
     c_pad = max(128, -(-ncomp // 128) * 128)
     Bp = -(-batch // TILE) * TILE
     dt = jnp.float32
@@ -270,6 +292,7 @@ def _call_kernel(seeds, thresh_or_down, scal, load_row, loadbus_row,
             pl.BlockSpec(memory_space=pltpu.SMEM),         # seeds
             first_spec,                                    # thresh | down
             shared((1, nd)),                               # load_row
+            shared((1, nd)),                               # hint_row
             shared((1, nb)),                               # load_bus_row
             shared((1, ng)),                               # pmax_row
             shared((nd, nb)),                              # load_onehot.T
@@ -288,13 +311,14 @@ def _call_kernel(seeds, thresh_or_down, scal, load_row, loadbus_row,
         ),
         out_shape=out_shapes,
         interpret=_interpret(),
-    )(scal, seeds, first_arg, load_row, loadbus_row, pmax_row, lohT,
-      gboh, gbohT, ptdfT, absptdfT, lodfT, abslodfT, rate_row)
+    )(scal, seeds, first_arg, load_row, hint_row, loadbus_row, pmax_row,
+      lohT, gboh, gbohT, ptdfT, absptdfT, lodfT, abslodfT, rate_row)
     return outs
 
 
 def sample_certify_quick(key, sys, batch: int,
-                         down: jax.Array | None = None):
+                         down: jax.Array | None = None,
+                         shed_hint: jax.Array | None = None):
     """Draw ``batch`` NSQ states and first-pass-certify them, fused.
 
     Returns ``(down_u8 [batch, n_comp], ok1 [batch] bool,
@@ -302,6 +326,11 @@ def sample_certify_quick(key, sys, batch: int,
     (bool/uint8 [batch, n_comp]) to skip the in-kernel PRNG and certify
     an explicit state batch — the parity-test mode, and the only mode
     available off-TPU (interpret mode has no hardware PRNG).
+
+    ``shed_hint`` ([n_load], sums to 1; ``dcopf.calibrate_shed_hint``)
+    directs the in-kernel shed candidate; omitted, the candidate is
+    load-proportional. With the hint the quick pass certifies ~98.9%
+    of peak lanes instead of ~91.8%, shrinking the finish buffer.
 
     The certificate here is FIRST-PASS only: repair, rank-k Woodbury
     and islanding rescue run downstream on the uncertified lanes
@@ -331,12 +360,16 @@ def sample_certify_quick(key, sys, batch: int,
                         ((0, 0), (0, c_pad - ncomp)))
 
     load_row = sys.load_pd.astype(dt)[None, :]
+    if shed_hint is None:
+        hint_row = load_row / jnp.sum(load_row)
+    else:
+        hint_row = jnp.asarray(shed_hint, dt)[None, :]
     loadbus_row = (sys.load_pd @ sys.load_onehot.T).astype(dt)[None, :]
     scal = jnp.stack([jnp.sum(sys.load_pd.astype(dt)),
                       jnp.sum(sys.gen_pmax.astype(dt))])
     a = lambda x: jnp.asarray(x, dt)
     down_u8, cert1, deficit, shed = _call_kernel(
-        seeds, first, scal, load_row, loadbus_row,
+        seeds, first, scal, load_row, hint_row, loadbus_row,
         a(sys.gen_pmax)[None, :], a(sys.load_onehot).T,
         a(sys.gen_bus_onehot), a(sys.gen_bus_onehot).T, a(sys.ptdf).T,
         jnp.abs(a(sys.ptdf)).T, a(sys.lodf).T, jnp.abs(a(sys.lodf)).T,

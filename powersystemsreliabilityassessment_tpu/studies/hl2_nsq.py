@@ -60,7 +60,8 @@ def default_max_lp(batch_per_device: int, nodal_mode: str = "lp",
       ~44%), so it needs the 50% buffer too. The study's grow-and-redo
       loop self-corrects either way.
     """
-    if is_boost > 1.0 and (is_boost_scope == "all" or nodal_mode == "lp"):
+    if is_boost > 1.0 and (is_boost_scope in ("all", "branches")
+                           or nodal_mode == "lp"):
         frac = 2
     elif nodal_mode == "proportional":
         frac = 64
@@ -82,7 +83,7 @@ def default_woodbury_k(sys: System, is_boost: float = 0.0,
     ~3.3e-2 -> rank 4 (matches the measured n_out histogram,
     results/case300_cert_breakdown.json)."""
     q = np.asarray(sys.unavail, np.float64)[sys.n_gen:]
-    if is_boost > 1.0 and is_boost_scope == "all":
+    if is_boost > 1.0 and is_boost_scope in ("all", "branches"):
         q = np.minimum(is_boost * q, 0.5)
     lam = float(q.sum())
     p_ge3 = 1.0 - np.exp(-lam) * (1.0 + lam + lam * lam / 2.0)
@@ -123,13 +124,19 @@ def make_nsq_batch_step(sys: System, mesh: Mesh, batch_per_device: int,
                                 is_boost_scope)
     if woodbury_k is None:
         woodbury_k = default_woodbury_k(sys, is_boost, is_boost_scope)
-    if is_boost_scope not in ("all", "gens"):
+    if is_boost_scope not in ("all", "gens", "branches"):
         raise ValueError(f"unknown is_boost_scope {is_boost_scope!r}; "
-                         "expected 'all' or 'gens'")
+                         "expected 'all', 'gens' or 'branches'")
     gen_only_mask = None
     if is_boost > 0 and is_boost_scope == "gens":
         gen_only_mask = jnp.asarray(
             np.arange(sys.n_comp) < sys.n_gen)
+    elif is_boost > 0 and is_boost_scope == "branches":
+        # Branch-only boost: the lever for transmission/islanding-driven
+        # risk (case300s: deficit_pos_frac ~ 0 at peak — the events are
+        # network-driven, so boosting GEN rates buys nothing there).
+        gen_only_mask = jnp.asarray(
+            np.arange(sys.n_comp) >= sys.n_gen)
 
     if fused_tier1:
         from powersystemsreliabilityassessment_tpu.ops import (
@@ -163,13 +170,16 @@ def make_nsq_batch_step(sys: System, mesh: Mesh, batch_per_device: int,
                 fused_sampler_cert)
             down, ok1, deficit, shed = \
                 fused_sampler_cert.sample_certify_quick(
-                    k, sys, batch_per_device)
+                    k, sys, batch_per_device,
+                    shed_hint=(None if shed_hint is None
+                               else jnp.asarray(shed_hint, jnp.float32)))
             weight = None
             load = jnp.broadcast_to(sys.load_pd[None, :],
                                     (batch_per_device, sys.n_load))
             pre = dcopf.certify_finish(
                 sys, down, load, deficit, shed, ok1,
-                dcopf.default_finish_buffer(batch_per_device),
+                dcopf.default_finish_buffer(batch_per_device,
+                                            hinted=shed_hint is not None),
                 woodbury_k=woodbury_k)
         elif is_boost > 0:
             down, weight = sample_states_importance(
@@ -191,7 +201,8 @@ def make_nsq_batch_step(sys: System, mesh: Mesh, batch_per_device: int,
             sys, down, load, max_lp, compat, ipm, nodal_mode,
             repair_buffer=dcopf.default_repair_buffer(
                 batch_per_device,
-                max(is_boost, 1.0) if is_boost_scope == "all" else 1.0,
+                max(is_boost, 1.0) if is_boost_scope in ("all", "branches")
+                else 1.0,
                 hinted=shed_hint is not None),
             woodbury_k=woodbury_k, pre=pre, shed_hint=hint)
         if enum_order > 0:

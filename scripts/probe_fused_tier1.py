@@ -67,17 +67,26 @@ def main() -> None:
     out: dict = {"batch": batch, "backend": jax.default_backend()}
 
     if not args.skip_parity:
+        # Parity at PRODUCTION config: calibrated hint in both the
+        # kernel and the jnp reference (same candidate family, so the
+        # certified sets must match exactly after the finish pass).
+        phint = dcopf.calibrate_shed_hint(sys_)
+        phint_arr = None if phint is None else jnp.asarray(phint)
         key = jax.random.key(42)
-        down, ok1, deficit, shed = fsc.sample_certify_quick(key, sys_, batch)
+        down, ok1, deficit, shed = fsc.sample_certify_quick(
+            key, sys_, batch, shed_hint=phint_arr)
         down, ok1 = jax.device_get(down), np.asarray(ok1)
         load = jnp.broadcast_to(sys_.load_pd[None, :],
                                 (batch, sys_.n_load))
+        hint_b = (None if phint_arr is None else jnp.broadcast_to(
+            phint_arr[None, :], load.shape))
         ref = dcopf.certify_states(sys_, jnp.asarray(down), load,
-                                   woodbury_k=2)
+                                   shed_hint=hint_b, woodbury_k=2)
         refc = np.asarray(ref.certified)
         fin = dcopf.certify_finish(
             sys_, jnp.asarray(down), load, deficit, shed,
-            jnp.asarray(ok1), dcopf.default_finish_buffer(batch),
+            jnp.asarray(ok1),
+            dcopf.default_finish_buffer(batch, hinted=phint is not None),
             woodbury_k=2)
         finc = np.asarray(fin.certified)
         # hardware-stream failure-rate z-scores
@@ -101,6 +110,13 @@ def main() -> None:
         }
         print("parity", json.dumps(out["parity"]), flush=True)
 
+    # Both arms run their PRODUCTION config: the one-time calibrated
+    # shed hint (dcopf.calibrate_shed_hint) and the matching hinted
+    # buffer sizes.
+    hint = dcopf.calibrate_shed_hint(sys_)
+    hint_arr = None if hint is None else jnp.asarray(hint)
+    out["hinted"] = hint is not None
+
     @jax.jit
     def step_default(key):
         down = sample_states(key, sys_.unavail, sys_.always_up_nsq, batch)
@@ -108,18 +124,21 @@ def main() -> None:
                                 (batch, sys_.n_load))
         res, n_over = dcopf.evaluate_states_screened(
             sys_, down, load, max_lp, compat, ipm, "proportional",
-            repair_buffer=dcopf.default_repair_buffer(batch))
+            repair_buffer=dcopf.default_repair_buffer(
+                batch, hinted=hint is not None),
+            shed_hint=hint_arr)
         return (jnp.sum(res.dns_mw), jnp.sum(res.failure), n_over)
 
     @jax.jit
     def step_fused(key):
         down, ok1, deficit, shed = fsc.sample_certify_quick(
-            key, sys_, batch)
+            key, sys_, batch, shed_hint=hint_arr)
         load = jnp.broadcast_to(sys_.load_pd[None, :],
                                 (batch, sys_.n_load))
         pre = dcopf.certify_finish(
             sys_, down, load, deficit, shed, ok1,
-            dcopf.default_finish_buffer(batch), woodbury_k=2)
+            dcopf.default_finish_buffer(batch, hinted=hint is not None),
+            woodbury_k=2)
         res, n_over = dcopf.evaluate_states_screened(
             sys_, down, load, max_lp, compat, ipm, "proportional",
             pre=pre)

@@ -30,7 +30,14 @@ import powersystemsreliabilityassessment_tpu as psra  # noqa: F401
 
 
 def run_one(case, samples: int, seed: int, batch: int, is_boost: float,
-            scope: str, cv: bool, beta_limit: float = 0.0) -> dict:
+            scope: str, cv: bool, beta_limit: float = 0.0,
+            nodal_mode: str = "proportional") -> dict:
+    """``nodal_mode="proportional"`` is the right regime at m = 792:
+    only certificate MISSES (~0.55% of lanes, results/woodbury4.json)
+    enter the LP buffer, so it stays at 128 lanes. "lp" mode would
+    route every deficit state there and its default 25-50% buffer puts
+    [max_lp, 792, 792] IPM temporaries past HBM (measured OOM at
+    max_lp=2048). Aggregate indices are identical by construction."""
     import numpy as np
 
     from powersystemsreliabilityassessment_tpu.studies.hl2_nsq import (
@@ -42,7 +49,8 @@ def run_one(case, samples: int, seed: int, batch: int, is_boost: float,
         case,
         MCSConfig(batch_size=batch, max_samples=samples,
                   beta_limit=beta_limit, seed=seed,
-                  is_boost=is_boost, is_boost_scope=scope),
+                  is_boost=is_boost, is_boost_scope=scope,
+                  nodal_mode=nodal_mode),
         control_variate=cv, log_every=50)
     wall = time.perf_counter() - t0
     # Warm throughput: drop the first convergence-history point's worth
@@ -75,11 +83,14 @@ def main() -> None:
     ap.add_argument("--beta", type=float, default=0.05)
     ap.add_argument("--is-boost", type=float, default=0.0)
     ap.add_argument("--is-boost-scope", default="gens",
-                    choices=["all", "gens"])
+                    choices=["all", "gens", "branches"])
     ap.add_argument("--control-variate", action="store_true")
     ap.add_argument("--pilot", action="store_true",
                     help="16k-sample config sweep (plain / cv / boost / "
                          "cv+boost) instead of the converged artifact")
+    ap.add_argument("--arm", default=None,
+                    help="run a single pilot arm by name (one process "
+                         "per arm isolates remote-compile relay flakes)")
     ap.add_argument("--replicate-seeds", type=int, nargs="*", default=[],
                     help="extra seeds to replicate the converged run")
     ap.add_argument("--out", default="results/case300_scaleup.json")
@@ -97,14 +108,21 @@ def main() -> None:
             ("boost4", 4.0, "gens", False),
             ("cv_boost2", 2.0, "gens", True),
             ("cv_boost4", 4.0, "gens", True),
+            ("brboost2", 2.0, "branches", False),
+            ("brboost4", 4.0, "branches", False),
         ]
+        if args.arm:
+            grid = [g for g in grid if g[0] == args.arm]
         out = dict(base, pilot_samples=16384, runs={})
+        path = args.out.replace(".json", "_pilot.json")
+        if args.arm and os.path.exists(path):
+            with open(path) as f:   # accumulate across per-arm processes
+                out = json.load(f)
         for name, boost, scope, cv in grid:
             r = run_one(case, 16384, args.seed, args.batch, boost, scope,
                         cv, beta_limit=0.0)
             out["runs"][name] = r
             print(json.dumps({name: r}))
-        path = args.out.replace(".json", "_pilot.json")
     else:
         out = dict(base)
         out.update(run_one(case, args.samples, args.seed, args.batch,

@@ -357,3 +357,18 @@ def test_nsq_gens_only_boost_agrees_with_plain():
                                   is_boost_scope="gens"), log_every=0)
     assert isg.edns_mw == pytest.approx(plain.edns_mw, rel=0.35)
     assert np.isfinite(isg.beta) and isg.overflow_states == 0
+
+
+def test_nsq_branches_boost_agrees_with_plain():
+    # Branch-only scope (the transmission/islanding-risk lever for
+    # case300-class systems) must also be unbiased IS: statistical
+    # agreement with plain MC at smoke scale, finite weights.
+    plain = run_nsq_study(cases.rts24(),
+                          MCSConfig(batch_size=1024, max_samples=4096,
+                                    seed=9), log_every=0)
+    isb = run_nsq_study(cases.rts24(),
+                        MCSConfig(batch_size=1024, max_samples=4096,
+                                  seed=9, is_boost=3.0,
+                                  is_boost_scope="branches"), log_every=0)
+    assert isb.edns_mw == pytest.approx(plain.edns_mw, rel=0.5)
+    assert np.isfinite(isb.beta) and isb.overflow_states == 0
