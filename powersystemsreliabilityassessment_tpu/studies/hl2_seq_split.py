@@ -29,6 +29,23 @@ keep the plain estimate, which preserves unbiasedness.
 All indices (ENS, PLC/DLC, the NLC event count with its boundary rise,
 nodal EENS and the weak-point accumulators) decompose across the split
 hour; see ``_split_year_estimates``.
+
+STATUS (round 3, measured): splitting has NOT demonstrated a winning
+niche. On RTS-24 (capacity-driven tail) the copper control variate
+dominates it ~20x (results/cv_rare_event.json). On the engineered
+transmission-driven tail (RTS-96 with tie ratings halved — the one
+knob the sensitivity sweep showed matters) it TIES plain MC and loses
+5.7x to the CV in work-normalized efficiency (0.03 vs 0.17,
+results/split_niche.json, scripts/probe_split_niche.py). The failure
+is structural, not statistical: the importance function that triggers
+cloning is the COPPER margin M_t, which by construction cannot see
+network-driven deficits (copper deficit = 0 at every such event) — the
+very tails the method was reserved for. The machinery stays (unbiased,
+tested, reference-free capability); the open lead for making it win is
+a network-aware importance function, e.g. the per-area deliverability
+margin min_a(area capacity + tie import capacity - area load), which
+is sampler-cheap and sees tie outages. Until that is built and
+measured, prefer plain MC or the control variate.
 """
 from __future__ import annotations
 
