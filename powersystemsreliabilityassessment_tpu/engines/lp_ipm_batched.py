@@ -15,6 +15,7 @@ RTS-24) and run through the same kernel:
 """
 from __future__ import annotations
 
+import dataclasses
 from typing import NamedTuple
 
 import jax
@@ -202,10 +203,15 @@ def polish_box_lp(state, c, b, l, u, cfg: IPMConfig, mv_fn, mtv_fn,
 
 
 def solve_box_lp_batched(c, A, b, l, u,
-                         cfg: IPMConfig = IPMConfig()) -> LPBatchSolution:
+                         cfg: IPMConfig = IPMConfig(),
+                         x_init=None) -> LPBatchSolution:
     """Solve a batch of LPs: min c'x s.t. Ax=b, l<=x<=u.
 
     Shapes: c,l,u [B,n]; A [B,m,n]; b [B,m].
+
+    ``x_init``: optional warm-start iterate (must lie strictly inside
+    the box); used by the compacted-restart recursion below. ``None``
+    starts from the box midpoint.
     """
     dtype = jnp.dtype(cfg.dtype)
     c, A, b = c.astype(dtype), A.astype(dtype), b.astype(dtype)
@@ -333,7 +339,7 @@ def solve_box_lp_batched(c, A, b, l, u,
             mtv_fn=lambda yy: jnp.einsum("bmn,bm->bn", A, yy),
             gram_fn=lambda w: (A * w[:, None, :]) @ At)
 
-    sol = one_pass(x0)
+    sol = one_pass(x_init if x_init is not None else x0)
     # Large-m stall rescue: lanes can converge to near-complementary but
     # SUBOPTIMAL points when f32 Newton directions degrade (gap ~ 2n*mu
     # => tens of MW of hidden objective error at m ~ 792). A second pass
@@ -345,6 +351,39 @@ def solve_box_lp_batched(c, A, b, l, u,
     # then objective), so well-converged lanes cannot regress.
     n_restarts = (cfg.restarts if cfg.restarts is not None
                   else (1 if m > _BLOCKED_MAX_M else 0))
+    k = cfg.restart_compact
+    if n_restarts > 0 and m > _BLOCKED_MAX_M and 0 < k < B:
+        # Compacted restart (round 3): at m = 792 each 16-iter pass costs
+        # ~0.95 s per 128-lane buffer and the unconditional full-buffer
+        # restart doubled the whole case300 step — yet in production only
+        # a handful of lanes per buffer are past the point a restart can
+        # improve (real-miss pass-1 quality quantiles in
+        # results/case300_lpq.json). Compact the worst-k lanes by the
+        # same quality score the evaluator trusts (rp + 2n*mu, a duality
+        # -gap bound at feasibility) and give THEM the full restart +
+        # escalation pipeline via recursion, warm-started from their
+        # polished pass-1 iterate. Lanes left behind are the buffer's
+        # best-scored: their gap bound keeps them within the evaluator's
+        # noise floor, and the cond-gated full-batch escalation below
+        # still fires if anything past restart_compact lanes stays bad
+        # (adversarial all-hard batches, e.g. the deep-contingency
+        # stress suite). Per-lane merge keeps whichever solution wins.
+        score = sol.primal_residual + 2 * n * sol.duality_gap
+        _, idx = jax.lax.top_k(score, k)
+        sub_cfg = dataclasses.replace(cfg, restart_compact=0)
+        li, ui = l[idx], u[idx]
+        sub_x0 = jnp.clip(sol.x[idx], li + 0.02 * (ui - li),
+                          ui - 0.02 * (ui - li))
+        sub = solve_box_lp_batched(c[idx], A[idx], b[idx], li, ui,
+                                   sub_cfg, x_init=sub_x0)
+        cand = LPBatchSolution(
+            x=sol.x.at[idx].set(sub.x),
+            objective=sol.objective.at[idx].set(sub.objective),
+            primal_residual=sol.primal_residual.at[idx].set(
+                sub.primal_residual),
+            duality_gap=sol.duality_gap.at[idx].set(sub.duality_gap))
+        sol = _merge_lanes(cand, sol)
+        n_restarts = 0   # the sub-solve ran them (plus its escalation)
     for _ in range(n_restarts):
         prev = sol
         # Full-length restart pass: a half-length (8-iter) pass matched

@@ -132,6 +132,22 @@ class IPMConfig:
     # degrading to its certified copper bound.
     escalate_passes: int = 2
     escalate_tol: float = 5e-3
+    # Compacted restart (large-m batched path only): instead of running
+    # the unconditional warm-restart pass on the FULL buffer, compact
+    # the worst ``restart_compact`` lanes by quality score
+    # (primal_residual + 2n * duality_gap) into a sub-buffer and run
+    # the restart + escalation pipeline there; lanes left behind keep
+    # their first-pass solution (their score bounds the duality gap, so
+    # they are within ~0.1 MW of optimal by construction). Measured on
+    # TPU: the case300 warm step drops 1.93 -> 1.44 s per 8192-batch
+    # (4.2k -> 5.7k samples/s) with the LP-path oracle tests unchanged
+    # (results/case300_step_profile.json, results/case300_lpq.json —
+    # pass-1 real-miss quality: 14 of 325 lanes above 5e-3, so the
+    # 32-lane sub-buffer has ~2.3x headroom per 8192-batch) while the
+    # cond-gated full-batch escalation below stays as the safety net
+    # for adversarial batches where > restart_compact lanes are hard.
+    # 0 disables (round-2 behavior: full-buffer unconditional restart).
+    restart_compact: int = 32
     # Fused-kernel whole-block early exit: stop iterating a 128-lane
     # block once every lane is frozen (mu < mu_tol or non-finite) —
     # exactly equivalent to the fixed-count loop, saves the tail

@@ -11,6 +11,7 @@ copper bounds while the true shed is transmission-limited and positive
 """
 import numpy as np
 import jax.numpy as jnp
+import pytest
 from scipy.optimize import linprog
 
 from powersystemsreliabilityassessment_tpu.core import cases
@@ -39,7 +40,9 @@ def _concentrated_states(case, n):
     return states
 
 
-def test_large_m_ipm_matches_f64_oracle():
+@pytest.fixture(scope="module")
+def deep_lps():
+    """4 concentrated deep-contingency LPs at m=792 + their f64 optima."""
     case = cases.case300s()
     sys_ = build_system(case)
     ng, nd = int(sys_.n_gen), int(sys_.load_pd.shape[0])
@@ -71,8 +74,10 @@ def test_large_m_ipm_matches_f64_oracle():
         refs.append(float(np.sum(r.x[ng:ng + nd])) * base)
     refs = np.asarray(refs)
     assert (refs > 1.0).any()  # the recipe produced real shed
+    return c, A, b, l, u, refs, ng, nd, base
 
-    sol = lp_ipm_batched.solve_box_lp_batched(c, A, b, l, u, ipm)
+
+def _check(sol, refs, ng, nd, base):
     dns = np.asarray(jnp.sum(sol.x[:, ng:ng + nd], axis=1)) * base
     err = np.abs(dns - refs)
     # The f32 floor on these deep lanes is ~0.7 MW (vs 7.7 MW without the
@@ -80,3 +85,20 @@ def test_large_m_ipm_matches_f64_oracle():
     # quality guard (that would silently degrade them to zero bounds).
     assert err.max() < 1.5, (dns, refs)
     assert np.asarray(sol.primal_residual).max() < 5e-3
+
+
+def test_large_m_ipm_matches_f64_oracle(deep_lps):
+    c, A, b, l, u, refs, ng, nd, base = deep_lps
+    sol = lp_ipm_batched.solve_box_lp_batched(c, A, b, l, u, IPMConfig())
+    _check(sol, refs, ng, nd, base)
+
+
+def test_large_m_compacted_restart_adversarial(deep_lps):
+    """restart_compact smaller than the number of HARD lanes: the two
+    left-behind deep lanes must still be rescued by the cond-gated
+    full-batch escalation passes (the safety net for batches where more
+    than restart_compact lanes are hard)."""
+    c, A, b, l, u, refs, ng, nd, base = deep_lps
+    ipm = IPMConfig(restart_compact=2)
+    sol = lp_ipm_batched.solve_box_lp_batched(c, A, b, l, u, ipm)
+    _check(sol, refs, ng, nd, base)
