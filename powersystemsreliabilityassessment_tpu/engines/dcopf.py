@@ -191,6 +191,84 @@ def build_state_lp_vectors(sys: System, gen_up: jax.Array,
     return c, b, l, u, colscale
 
 
+def make_dc_linops(sys: System, gen_col: jax.Array, br_up: jax.Array):
+    """Structured :class:`lp_ipm_batched.LinOps` for the DC-OPF LP.
+
+    Exploits :func:`build_state_lp`'s block layout (variables
+    [pg | shed | f | theta], rows [balance | flow]) so the IPM core
+    never materializes the [B, m, n] constraint tensor:
+
+      A v / A' y       one-hot scatter + incidence matmuls, O(B*n*nb)
+      A diag(w) A'     block assembly — the balance-balance block is a
+                       wf-weighted graph Laplacian plus a diagonal of
+                       scattered gen/shed weights, balance-flow is a
+                       scaled incidence (elementwise), flow-flow is a
+                       diagonal plus the br_up-masked theta Laplacian
+                       congruence.
+
+    At case300s (nb=300, nl=492, n=1392) the gram assembly costs
+    ~30 GFLOP per 128-lane iteration vs ~224 GFLOP for the dense
+    (A*w)@A' product — and removes the 570 MB [B, m, n] residency.
+    Lane variation enters only through ``gen_col`` ([B, ng], the
+    balance-column scaling = gen_up * (pmax > 0)) and ``br_up``
+    ([B, nl], the flow-row theta scaling), exactly the two scalings
+    ``build_state_lp`` applies to the shared blocks.
+    """
+    from powersystemsreliabilityassessment_tpu.engines.lp_ipm_batched import (
+        LinOps)
+    ng, nd, nl, nb = sys.n_gen, sys.n_load, sys.n_branch, sys.n_bus
+    dt = sys.bus_pd.dtype
+    cg = sys.gen_bus_onehot          # [nb, ng]
+    cd = sys.load_onehot             # [nb, nd]
+    minc = sys.incidence             # [nl, nb]
+    ref_mask = (np.arange(nb) != 0).astype(np.float32)
+    mref = minc * ref_mask[None, :]  # gauge-fixed theta columns
+    inv_b = 1.0 / sys.b_susceptance  # [nl]
+    inv_b2 = inv_b * inv_b
+    eye_nb = np.eye(nb, dtype=dt)
+    eye_nl = np.eye(nl, dtype=dt)
+    f_lo, f_hi = ng + nd, ng + nd + nl
+
+    def split(v):
+        return v[:, :ng], v[:, ng:f_lo], v[:, f_lo:f_hi], v[:, f_hi:]
+
+    def mv(v):
+        vg, vs, vf, vt = split(v)
+        bal = (gen_col * vg) @ cg.T + vs @ cd.T - vf @ minc
+        flow = vf * inv_b[None, :] - br_up * (vt @ mref.T)
+        return jnp.concatenate([bal, flow], axis=1)
+
+    def mtv(y):
+        yb, yf = y[:, :nb], y[:, nb:]
+        return jnp.concatenate([
+            gen_col * (yb @ cg),
+            yb @ cd,
+            inv_b[None, :] * yf - yb @ minc.T,
+            -(br_up * yf) @ mref], axis=1)
+
+    def gram(w):
+        wg, ws, wf, wt = split(w)
+        dbal = (wg * gen_col * gen_col) @ cg.T + ws @ cd.T   # [B, nb]
+        lap = jnp.einsum("lb,Blc->Bbc", minc, wf[:, :, None] * minc)
+        mbb = lap + dbal[:, :, None] * eye_nb
+        mbf = -minc.T[None] * (wf * inv_b[None, :])[:, None, :]
+        k = jnp.einsum("Blb,kb->Blk", mref[None] * wt[:, None, :], mref)
+        mff = (br_up[:, :, None] * k * br_up[:, None, :]
+               + (wf * inv_b2[None, :])[:, :, None] * eye_nl)
+        return jnp.concatenate([
+            jnp.concatenate([mbb, mbf], axis=2),
+            jnp.concatenate([jnp.swapaxes(mbf, 1, 2), mff], axis=2)],
+            axis=1)
+
+    def normal(d):
+        return gram(1.0 / d)
+
+    def take(idx):
+        return make_dc_linops(sys, gen_col[idx], br_up[idx])
+
+    return LinOps(mv, mtv, gram, normal, take)
+
+
 def connected_to_ref(sys: System, br_up: jax.Array) -> jax.Array:
     """[B, nb] bool: bus is in the reference bus (bus 0) island.
 
@@ -584,8 +662,20 @@ def calibrate_shed_hint(sys: System, batch: int = 8192,
     stuck at 16% of deficit lanes vs 99.6% for the unguarded f32
     check).
 
-    Returns None when the calibration batch has too few rescued lanes
-    to average (keep the proportional candidate then).
+    When the tightened-rating harvest rescues too few lanes to average
+    (< 32 — at RTS-24 deficit optima BIND a line limit with exactly
+    zero margin, so ANY tightening collapses the rescue: 275 -> 4
+    lanes at margin_frac = 0.005), the calibration FALLS BACK to the
+    untightened ratings (margin_frac = 0) — that restores the
+    production hint (99.963% first-pass certification); only the
+    opt-in fused kernel's guard band wanted the margin. Returns None
+    only when even the untightened batch has too few rescued lanes.
+
+    Regression note: an earlier revision made margin_frac = 0.02 the
+    default WITHOUT this fallback, silently returning None at RTS-24 —
+    the production path lost its hint (repair buffer 8x bigger, bench
+    path degraded) while every estimate stayed correct. Pinned by
+    tests/test_lp_dcopf.py::test_shed_hint_calibration_and_equivalence.
     """
     from powersystemsreliabilityassessment_tpu.sampling.state import (
         sample_states)
@@ -599,6 +689,8 @@ def calibrate_shed_hint(sys: System, batch: int = 8192,
     r3 = certify_states(sys_tight, down, load, repair_iters=6)
     rescued = np.asarray(r3.certified & ~r0.certified)
     if int(rescued.sum()) < 32:
+        if margin_frac > 0.0:
+            return calibrate_shed_hint(sys, batch, seed, margin_frac=0.0)
         return None
     shed = np.asarray(r3.shed, np.float64)[rescued]
     pat = (shed / np.maximum(shed.sum(axis=1, keepdims=True),
@@ -815,6 +907,19 @@ def _solve_batch(sys: System, comp_down: jax.Array, load_pu: jax.Array,
             sys, gen_up, br_up, load_pu, compat, ipm.theta_max)
         sol = lp_ipm_structured.solve_box_lp_structured(
             st, colscale, br_up, c, b, l, u, ipm)
+    elif (ipm.structured_gram
+          and sys.n_bus + nl > lp_ipm_batched._BLOCKED_MAX_M):
+        # Large-m XLA path with the STRUCTURED constraint operator
+        # (make_dc_linops): the dense (A*w)@A' gram was the measured
+        # bottleneck of the case300 LP pass (MXU-bound, linear in
+        # buffer size — results/case300_bigbatch.json); the block
+        # assembly cuts its FLOPs ~7x and drops the [B, m, n]
+        # residency. Scoped to m > _BLOCKED_MAX_M so the small/mid-m
+        # golden-pinned numerics keep the dense rounding exactly.
+        c, b, l, u, colscale = build_state_lp_vectors(
+            sys, gen_up, br_up, load_pu, compat, ipm.theta_max)
+        lops = make_dc_linops(sys, colscale[:, :ng], br_up)
+        sol = lp_ipm_batched.solve_box_lp_ops(c, b, l, u, lops, ipm)
     else:
         c, A, b, l, u = jax.vmap(
             lambda gu, bu, ld: build_state_lp(sys, gu, bu, ld, compat,

@@ -202,21 +202,75 @@ def polish_box_lp(state, c, b, l, u, cfg: IPMConfig, mv_fn, mtv_fn,
     )
 
 
+class LinOps(NamedTuple):
+    """Abstract batched constraint operator for the box-LP core.
+
+    Everything the IPM needs from ``A`` as closures, so structured
+    constraint matrices (the DC-OPF blocks: one-hot scatters, branch
+    incidence, diagonals — see ``dcopf.make_dc_linops``) never have to
+    materialize a [B, m, n] tensor. ``normal`` is kept separate from
+    ``gram`` so the dense path can preserve its historical symmetric
+    square-root rounding exactly (golden pins).
+    """
+    mv: object        # v [B,n] -> A v       [B,m]
+    mtv: object       # y [B,m] -> A' y      [B,n]
+    gram: object      # w [B,n] -> A diag(w) A'     [B,m,m]
+    normal: object    # d [B,n] -> A diag(1/d) A'   [B,m,m]
+    take: object      # idx [k] -> LinOps over the idx lanes
+
+
+def dense_linops(A) -> LinOps:
+    """LinOps over an explicit [B, m, n] constraint tensor."""
+    At = jnp.swapaxes(A, 1, 2)
+
+    def mv(v):
+        return jnp.einsum("bmn,bn->bm", A, v)
+
+    def mtv(y):
+        return jnp.einsum("bmn,bm->bn", A, y)
+
+    def gram(w):
+        return (A * w[:, None, :]) @ At
+
+    def normal(d):
+        # Symmetric square-root form G G' with G = A diag(d)^-1/2 —
+        # bit-identical to the pre-refactor dense path.
+        G = A * jax.lax.rsqrt(d)[:, None, :]
+        return G @ jnp.swapaxes(G, 1, 2)
+
+    def take(idx):
+        return dense_linops(A[idx])
+
+    return LinOps(mv, mtv, gram, normal, take)
+
+
 def solve_box_lp_batched(c, A, b, l, u,
                          cfg: IPMConfig = IPMConfig(),
                          x_init=None) -> LPBatchSolution:
     """Solve a batch of LPs: min c'x s.t. Ax=b, l<=x<=u.
 
-    Shapes: c,l,u [B,n]; A [B,m,n]; b [B,m].
+    Shapes: c,l,u [B,n]; A [B,m,n]; b [B,m]. Public dense entry —
+    delegates to :func:`solve_box_lp_ops` over the materialized tensor.
+    """
+    return solve_box_lp_ops(c, b, l, u,
+                            dense_linops(A.astype(jnp.dtype(cfg.dtype))),
+                            cfg, x_init=x_init)
+
+
+def solve_box_lp_ops(c, b, l, u, ops: LinOps,
+                     cfg: IPMConfig = IPMConfig(),
+                     x_init=None) -> LPBatchSolution:
+    """Batched IPM core over an abstract constraint operator.
 
     ``x_init``: optional warm-start iterate (must lie strictly inside
     the box); used by the compacted-restart recursion below. ``None``
     starts from the box midpoint.
     """
     dtype = jnp.dtype(cfg.dtype)
-    c, A, b = c.astype(dtype), A.astype(dtype), b.astype(dtype)
+    c, b = c.astype(dtype), b.astype(dtype)
     l, u = l.astype(dtype), u.astype(dtype)
-    B, m, n = A.shape
+    B, n = c.shape
+    m = b.shape[1]
 
     factor, chol_solve = _make_chol_ops(B, m)
 
@@ -225,13 +279,9 @@ def solve_box_lp_batched(c, A, b, l, u,
     delta = np.asarray(cfg.regularization, dtype)
     tau = np.asarray(cfg.tau, dtype)
     eye_m = np.eye(m, dtype=dtype)
-    At = jnp.swapaxes(A, 1, 2)
 
     def bdot(p, q):  # [B,n],[B,n] -> [B]
         return jnp.sum(p * q, axis=-1)
-
-    def mv(M_, v):   # [B,m,n],[B,n] -> [B,m]
-        return jnp.einsum("bmn,bn->bm", M_, v)
 
     def equilibrated_chol(M):
         diag = jnp.diagonal(M, axis1=1, axis2=2)
@@ -249,9 +299,9 @@ def solve_box_lp_batched(c, A, b, l, u,
 
     def newton_step(d, sl, su, zl, zu, rd, rp, rcl, rcu, chol_s):
         rhat = rd - rcl / sl + rcu / su                   # [B,n]
-        rhs = rp + mv(A, rhat / d)                        # [B,m]
+        rhs = rp + ops.mv(rhat / d)                       # [B,m]
         dy = eq_solve(chol_s, rhs)
-        dx = (jnp.einsum("bmn,bm->bn", A, dy) - rhat) / d
+        dx = (ops.mtv(dy) - rhat) / d
         dzl = (rcl - zl * dx) / sl
         dzu = (rcu + zu * dx) / su
         return dx, dy, dzl, dzu
@@ -275,8 +325,8 @@ def solve_box_lp_batched(c, A, b, l, u,
         x, y, zl, zu, done, best_score, best_x = state
         sl = _pos(x - l)
         su = _pos(u - x)
-        rp = b - mv(A, x)
-        rd = c - jnp.einsum("bmn,bm->bn", A, y) - zl + zu
+        rp = b - ops.mv(x)
+        rd = c - ops.mtv(y) - zl + zu
         mu = (bdot(sl, zl) + bdot(su, zu)) / (2 * n)      # [B]
 
         score = mu + jnp.max(jnp.abs(rp), axis=-1)
@@ -287,8 +337,7 @@ def solve_box_lp_batched(c, A, b, l, u,
         done = done | (mu < cfg.mu_tol)
 
         d = jnp.clip(zl / sl + zu / su, 1e-6, 1e10)
-        G = A * jax.lax.rsqrt(d)[:, None, :]
-        chol_s = equilibrated_chol(G @ jnp.swapaxes(G, 1, 2))
+        chol_s = equilibrated_chol(ops.normal(d))
 
         centering = (mu < cfg.center_tol)[:, None]
 
@@ -335,9 +384,7 @@ def solve_box_lp_batched(c, A, b, l, u,
             0, iters or cfg.iterations, body, state)
         return polish_box_lp(
             (x, y, zl, zu, best_score, best_x), c, b, l, u, cfg,
-            mv_fn=lambda v: mv(A, v),
-            mtv_fn=lambda yy: jnp.einsum("bmn,bm->bn", A, yy),
-            gram_fn=lambda w: (A * w[:, None, :]) @ At)
+            mv_fn=ops.mv, mtv_fn=ops.mtv, gram_fn=ops.gram)
 
     sol = one_pass(x_init if x_init is not None else x0)
     # Large-m stall rescue: lanes can converge to near-complementary but
@@ -374,8 +421,8 @@ def solve_box_lp_batched(c, A, b, l, u,
         li, ui = l[idx], u[idx]
         sub_x0 = jnp.clip(sol.x[idx], li + 0.02 * (ui - li),
                           ui - 0.02 * (ui - li))
-        sub = solve_box_lp_batched(c[idx], A[idx], b[idx], li, ui,
-                                   sub_cfg, x_init=sub_x0)
+        sub = solve_box_lp_ops(c[idx], b[idx], li, ui, ops.take(idx),
+                               sub_cfg, x_init=sub_x0)
         cand = LPBatchSolution(
             x=sol.x.at[idx].set(sub.x),
             objective=sol.objective.at[idx].set(sub.objective),

@@ -17,7 +17,8 @@ from scipy.optimize import linprog
 from powersystemsreliabilityassessment_tpu.core import cases
 from powersystemsreliabilityassessment_tpu.core.system import build_system
 from powersystemsreliabilityassessment_tpu.engines import lp_ipm_batched
-from powersystemsreliabilityassessment_tpu.engines.dcopf import build_state_lp
+from powersystemsreliabilityassessment_tpu.engines.dcopf import (
+    build_state_lp, make_dc_linops)
 from powersystemsreliabilityassessment_tpu.utils.config import (
     CompatFlags, IPMConfig)
 
@@ -101,4 +102,60 @@ def test_large_m_compacted_restart_adversarial(deep_lps):
     c, A, b, l, u, refs, ng, nd, base = deep_lps
     ipm = IPMConfig(restart_compact=2)
     sol = lp_ipm_batched.solve_box_lp_batched(c, A, b, l, u, ipm)
+    _check(sol, refs, ng, nd, base)
+
+
+def _state_scalings(case, sys_, n):
+    states = _concentrated_states(case, n)
+    ng = case.n_gen
+    gen_up = jnp.asarray(1.0 - states[:, :ng], jnp.float32)
+    br_up = jnp.asarray(1.0 - states[:, ng:], jnp.float32)
+    has_cap = (np.asarray(sys_.gen_pmax) > 0).astype(np.float32)
+    return gen_up * has_cap[None, :], br_up
+
+
+def test_structured_linops_match_dense(deep_lps):
+    """make_dc_linops products == the materialized build_state_lp tensor
+    (same states as the deep-contingency fixture)."""
+    c, A, b, l, u, refs, ng, nd, base = deep_lps
+    case = cases.case300s()
+    sys_ = build_system(case)
+    gen_col, br_up = _state_scalings(case, sys_, A.shape[0])
+    ops = make_dc_linops(sys_, gen_col, br_up)
+
+    rng = np.random.default_rng(11)
+    B, m, n = A.shape
+    v = jnp.asarray(rng.normal(size=(B, n)), jnp.float32)
+    y = jnp.asarray(rng.normal(size=(B, m)), jnp.float32)
+    w = jnp.asarray(rng.uniform(0.1, 10.0, size=(B, n)), jnp.float32)
+
+    Ad = np.asarray(A, np.float64)
+    np.testing.assert_allclose(np.asarray(ops.mv(v)),
+                               np.einsum("bmn,bn->bm", Ad, v),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ops.mtv(y)),
+                               np.einsum("bmn,bm->bn", Ad, y),
+                               rtol=2e-5, atol=2e-5)
+    gram_ref = np.einsum("bmn,bn,bkn->bmk", Ad, np.asarray(w, np.float64),
+                         Ad)
+    np.testing.assert_allclose(np.asarray(ops.gram(w)), gram_ref,
+                               rtol=1e-4, atol=1e-4)
+    # take() slices lanes consistently
+    idx = jnp.asarray([2, 0])
+    sub = ops.take(idx)
+    np.testing.assert_allclose(np.asarray(sub.mv(v[idx])),
+                               np.asarray(ops.mv(v))[[2, 0]],
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_structured_large_m_matches_f64_oracle(deep_lps):
+    """The A-free core (solve_box_lp_ops + make_dc_linops) must pass the
+    same deep-contingency oracle gate as the dense path — this is the
+    production case300 branch of dcopf._solve_batch."""
+    c, A, b, l, u, refs, ng, nd, base = deep_lps
+    case = cases.case300s()
+    sys_ = build_system(case)
+    gen_col, br_up = _state_scalings(case, sys_, A.shape[0])
+    ops = make_dc_linops(sys_, gen_col, br_up)
+    sol = lp_ipm_batched.solve_box_lp_ops(c, b, l, u, ops, IPMConfig())
     _check(sol, refs, ng, nd, base)
