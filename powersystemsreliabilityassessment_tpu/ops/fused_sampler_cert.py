@@ -68,11 +68,14 @@ re-check, never a wrong certificate. Islanding outages (LODF sentinel
 exact zero-flow test decides them as before.
 
 Sampling semantics match ``ops.hw_sampler`` (same thresholds: P(fail)
-= ceil(U * 2^24)/2^24, pinned components threshold 0; same per-tile
-Weyl-mixed seeding), so a run is deterministic for a fixed (key,
-batch, backend) but is a DIFFERENT stream than threefry — the study
-keeps threefry as the reproducibility contract and enables this path
-opt-in (MCSConfig, bench.py).
+= ceil(U * 2^24)/2^24, pinned components threshold 0; same Weyl-mixed
+per-tile seeding SCHEME — but TILE here is 512 vs hw_sampler's 4096,
+so the per-tile seeds cover different row ranges and the same key
+yields a DIFFERENT state stream than ``sample_states_hw``). A run is
+deterministic for a fixed (key, batch, backend) but is a different
+stream than both threefry and hw_sampler — the study keeps threefry
+as the reproducibility contract and enables this path opt-in
+(MCSConfig, bench.py).
 
 Scope: single-128-block systems (n_comp, n_bus, n_branch, n_gen,
 n_load all <= 128 — RTS-24-class) and a batch-constant load row (NSQ
@@ -96,7 +99,7 @@ from powersystemsreliabilityassessment_tpu.ops import hw_sampler
 TILE = 512
 
 # Guard-band constant for HIGH-precision (bf16x3) dots; see module
-# docstring for the error model it inflates ~8x.
+# docstring for the error model it inflates ~4x.
 EPS_HIGH = 2.0 ** -14
 
 _HIGHEST = jax.lax.Precision.HIGHEST

@@ -124,6 +124,11 @@ def make_nsq_batch_step(sys: System, mesh: Mesh, batch_per_device: int,
                                 is_boost_scope)
     if woodbury_k is None:
         woodbury_k = default_woodbury_k(sys, is_boost, is_boost_scope)
+    if not 2 <= woodbury_k <= 4:
+        # The unrolled Laplace/Cramer kernels in dcopf have factorial
+        # cost in k, and the f32 conditioning + 1e-5 det threshold of
+        # the Woodbury certificate are only characterized for k <= 4.
+        raise ValueError(f"woodbury_k must be in [2, 4], got {woodbury_k}")
     if is_boost_scope not in ("all", "gens", "branches"):
         raise ValueError(f"unknown is_boost_scope {is_boost_scope!r}; "
                          "expected 'all', 'gens' or 'branches'")
@@ -199,10 +204,16 @@ def make_nsq_batch_step(sys: System, mesh: Mesh, batch_per_device: int,
                 else jnp.asarray(shed_hint, jnp.float32))
         res, n_over = dcopf.evaluate_states_screened(
             sys, down, load, max_lp, compat, ipm, nodal_mode,
+            # Any boost (regardless of scope) inflates the first-check-
+            # needy fraction: gens boost pushes deficit>0 to ~44% of
+            # lanes, branch boost multiplies congested-outage lanes.
+            # default_repair_buffer returns None (full-batch repair) for
+            # boost > 1, which is what those regimes need — sizing the
+            # gens-scope buffer as if unboosted overflowed lanes to the
+            # LP buffer (absorbed in "lp" mode but forcing grow-and-redo
+            # rebuilds in "proportional" mode).
             repair_buffer=dcopf.default_repair_buffer(
-                batch_per_device,
-                max(is_boost, 1.0) if is_boost_scope in ("all", "branches")
-                else 1.0,
+                batch_per_device, max(is_boost, 1.0),
                 hinted=shed_hint is not None),
             woodbury_k=woodbury_k, pre=pre, shed_hint=hint)
         if enum_order > 0:

@@ -22,6 +22,7 @@ from powersystemsreliabilityassessment_tpu.__main__ import build_parser
     ["nsq", "--case", "path/to/case.m"],
     ["nsq", "--early-exit"],
     ["nsq", "--is-boost", "8", "--is-boost-scope", "gens"],
+    ["nsq", "--is-boost", "8", "--is-boost-scope", "branches"],
     ["seq", "--early-exit", "--control-variate"],
     ["seq"],
     ["seq", "--years", "100", "--cov", "0.1", "--years-per-device", "8",
@@ -47,7 +48,7 @@ def test_documented_combinations_parse(argv):
     ["seq", "--sampling", "bogus"],
     ["multiarea", "--system", "bogus"],
     ["nsq", "--checkpoint-backend", "bogus"],
-    ["nsq", "--is-boost-scope", "branches"],
+    ["nsq", "--is-boost-scope", "bogus"],
     [],
 ])
 def test_invalid_flags_rejected(argv):
