@@ -42,6 +42,17 @@ def build_parser() -> argparse.ArgumentParser:
                           "preserving the certificate closure rate; "
                           "'branches' targets transmission/islanding-"
                           "driven risk (case300-class systems)")
+    nsq.add_argument("--is-ce", action="store_true",
+                     help="cross-entropy ADAPTIVE importance sampling: "
+                          "a pilot phase learns per-component proposal "
+                          "rates from the CE-optimal marginals "
+                          "E[DNS*1(k down)]/E[DNS] — the network-aware "
+                          "tilt for transmission-driven regimes where "
+                          "a uniform boost is blind "
+                          "(hl2_nsq.calibrate_ce_proposal)")
+    nsq.add_argument("--ce-rounds", type=int, default=2)
+    nsq.add_argument("--ce-batch", type=int, default=32768)
+    nsq.add_argument("--ce-boost0", type=float, default=4.0)
     nsq.add_argument("--control-variate", action="store_true",
                      help="copper-sheet control variate with exact f64 "
                           "COPT mean (composes with --is-boost and "
@@ -163,6 +174,8 @@ def main() -> None:
             beta_limit=args.beta, seed=args.seed,
             is_boost=args.is_boost,
             is_boost_scope=args.is_boost_scope,
+            is_ce=args.is_ce, ce_rounds=args.ce_rounds,
+            ce_batch=args.ce_batch, ce_boost0=args.ce_boost0,
             fused_tier1=args.fused_tier1), checkpointer=ck,
             control_variate=args.control_variate,
             enum_order=args.enum_order,

@@ -630,6 +630,220 @@ def certify_states(sys: System, comp_down: jax.Array, load_pu: jax.Array,
                        shed=cand, dispatch=dispatch)
 
 
+def _island_rebalance(R: jax.Array, x: jax.Array,
+                      caps: jax.Array, target_bus: jax.Array,
+                      onehot: jax.Array) -> jax.Array:
+    """Per-ISLAND exact rebalance of a nonnegative pattern ``x`` (caps
+    ``caps``) so its island totals equal ``target_bus``'s island totals.
+
+    ``R`` is the [B, nb, nb] island-indicator matrix (R[b,i,j]=1 iff i,j
+    connected), ``onehot`` the [nb, k] bus scatter for x's entities, and
+    ``target_bus`` a [B, nb] per-bus target whose island sums define the
+    per-island totals. Same down-scale / headroom-up-scale scheme as
+    :func:`_rebalance_shed`, with every total computed per island via R
+    matvecs (gather-free). Requires island target <= island cap sum."""
+    x_bus = x @ onehot.T                                   # [B, nb]
+    tot_i = jnp.einsum("bij,bj->bi", R, x_bus)             # island totals
+    tgt_i = jnp.einsum("bij,bj->bi", R, target_bus)
+    resid_i = tot_i - tgt_i                                # [B, nb]
+    down = jnp.maximum(tgt_i, 0.0) / jnp.maximum(tot_i, 1e-9)
+    head = jnp.maximum(caps - x, 0.0)
+    head_i = jnp.einsum("bij,bj->bi", R, head @ onehot.T)
+    up_frac = (-resid_i) / jnp.maximum(head_i, 1e-9)
+    down_e = down @ onehot                                 # [B, k] at bus
+    up_e = up_frac @ onehot
+    resid_e = resid_i @ onehot
+    return jnp.where(resid_e >= 0, x * down_e,
+                     jnp.minimum(x + head * up_e, caps))
+
+
+def certify_island_pf(sys: System, comp_down: jax.Array,
+                      load_pu: jax.Array,
+                      repair_iters: int = 2,
+                      theta_cap: float = 6.0) -> Certificate:
+    """Tier-1.5 certificate: exact reduced-network DC-PF feasibility
+    check, island-aware, valid for ANY outage topology.
+
+    Runs on the (small) compacted buffer of Tier-1 misses — the deep
+    multi-branch and island-forming states the PTDF/LODF/Woodbury
+    certificates cannot reach (rank > woodbury_k, or a singular Woodbury
+    block = islanding). Per lane, entirely batched, gather-free:
+
+    1. **Island decomposition.** R[b,i,j] = 1 iff buses i,j are connected
+       through in-service branches, by ``ceil(log2(nb))`` boolean
+       squarings of the adjacency matrix (exact for any diameter; the
+       5-squaring shortcut in :func:`connected_to_ref` is only safe for
+       its RTS-24-class callers). All per-island aggregates are R
+       matvecs — no island ids, no gathers.
+    2. **Per-island copper bound.** island_deficit_i = max(0, island
+       load - island capacity). The Tier-2 LP decomposes per island on
+       the reduced network, and each island's DNS is >= its copper
+       deficit (removing lines never adds capacity), so
+       sum_islands deficit is a PROVEN lower bound on the lane's DNS —
+       tighter than Tier 1's global copper bound.
+    3. **Candidate at the bound.** Island-proportional shed (exactly
+       island_deficit per island), locally-self-balancing dispatch
+       pooled per island (the :func:`_dispatch_candidate` trick with R
+       matvec pooling) — injections balance per island by construction.
+    4. **Exact reduced power flow.** Solve L theta = inj with
+       L = M' diag(b * br_up) M the reduced weighted Laplacian, gauge-
+       fixed by the island projector: Lg = L + c * R / size. For any
+       per-island-balanced injection R @ inj = 0, so Lg theta = inj has
+       the SAME solutions as L theta = inj restricted to zero island
+       mean — the grounding is exact, not a regularization — while Lg
+       is symmetric PD with the projector's eigenvalue pinned at c
+       (c = mean Laplacian diagonal keeps it in the spectrum's bulk).
+       Two iterative-refinement steps against the retained Lg, then
+       f = b * br_up * (M theta), checked against the ratings. A
+       residual guard (|Lg theta - inj| <= 3e-5 * scale) routes any
+       lane whose f32 solve did not converge to the LP instead of
+       certifying on bad flows — including (self-guarding) any lane
+       whose R was somehow not a true island projector.
+    5. **Repair descent** (``repair_iters``): on overload, the exact
+       gradient through the reduced network is one adjoint solve with
+       the RETAINED factor (z = Lg^-1 M'(w * sgn_over)); shed and
+       dispatch move along it and are re-balanced per island.
+
+    A lane certifies when its candidate flows fit the ratings: DNS =
+    sum of island copper deficits, proven optimal. The returned
+    ``deficit``/``shed``/``dispatch`` are valid (bound, pattern) for
+    UNcertified lanes too — strictly tighter fallbacks than Tier 1's
+    global copper bound for overflow accounting.
+
+    Replaces the reference's only treatment of these states — a full
+    MATPOWER solve per state (mc_simulation.m:41) or silent zeros on
+    failure (seqMain.m:117-126) — with a provably-exact certificate at
+    O(buffer) batched cost. Cost per 128-lane buffer at case300s is
+    ~60 GFLOP of [B, nb, nb] matmuls — noise next to one m=792 IPM
+    iteration."""
+    ng, nd, nl, nb = sys.n_gen, sys.n_load, sys.n_branch, sys.n_bus
+    dt = sys.bus_pd.dtype
+    gen_up = 1.0 - comp_down[:, :ng].astype(dt)
+    br_up = 1.0 - comp_down[:, ng:ng + nl].astype(dt)
+    minc = sys.incidence                                   # [nl, nb]
+    e_from = (minc > 0).astype(dt)
+    e_to = (minc < 0).astype(dt)
+
+    # 1. Island projector by exact boolean squaring.
+    adj = jnp.einsum("lb,Bl,lc->Bbc", e_from, br_up, e_to)
+    adj = adj + jnp.swapaxes(adj, 1, 2) + np.eye(nb, dtype=dt)[None]
+    R = jnp.minimum(adj, 1.0)
+    for _ in range(int(np.ceil(np.log2(max(nb, 2))))):
+        R = jnp.minimum(R @ R, 1.0)
+    size = jnp.sum(R, axis=2)                              # [B, nb]
+
+    def isum(v_bus):                                       # island sums
+        return jnp.einsum("bij,bj->bi", R, v_bus)
+
+    # 2. Per-island copper bound.
+    gen_cap = sys.gen_pmax[None, :] * gen_up               # [B, ng]
+    cap_bus = gen_cap @ sys.gen_bus_onehot.T               # [B, nb]
+    load_bus = load_pu @ sys.load_onehot.T
+    icap, iload = isum(cap_bus), isum(load_bus)
+    idef = jnp.maximum(iload - icap, 0.0)                  # [B, nb]
+    deficit = jnp.sum(idef / jnp.maximum(size, 1.0), axis=1)
+
+    # 3. Candidate at the bound (island-proportional shed, local-first
+    # dispatch pooled per island).
+    frac = idef / jnp.maximum(iload, 1e-9)                 # [B, nb]
+    shed = load_pu * (frac @ sys.load_onehot)              # [B, nd]
+    served_bus = load_bus - shed @ sys.load_onehot.T       # [B, nb]
+    local_frac = jnp.minimum(
+        served_bus / jnp.maximum(cap_bus, 1e-9), 1.0)
+    disp = gen_cap * (local_frac @ sys.gen_bus_onehot)
+    disp = _island_rebalance(R, disp, gen_cap, served_bus,
+                             sys.gen_bus_onehot)
+
+    # 4. Exact reduced PF with island-projector grounding.
+    w = sys.b_susceptance[None, :] * br_up                 # [B, nl]
+    L = jnp.einsum("lb,Bl,lc->Bbc", minc, w, minc)
+    c_gauge = (jnp.einsum("bii->b", L) / nb)[:, None, None] + 1e-3
+    Lg = L + c_gauge * (R / jnp.maximum(size, 1.0)[:, :, None])
+    diag = jnp.diagonal(Lg, axis1=1, axis2=2)
+    s = jax.lax.rsqrt(jnp.maximum(diag, 1e-30))
+    Lgs = Lg * s[:, :, None] * s[:, None, :]
+    chol = jnp.linalg.cholesky(Lgs)
+
+    def pf_solve(rhs):                                     # [B, nb]
+        cs = jax.vmap(lambda LL, rr: jax.scipy.linalg.cho_solve(
+            (LL, True), rr))
+        th = s * cs(chol, s * rhs)
+        for _ in range(2):
+            th = th + s * cs(chol, s * (
+                rhs - jnp.einsum("bij,bj->bi", Lg, th)))
+        return th
+
+    rate_ok = sys.br_rate[None, :] + 1e-4
+    inj_scale = jnp.maximum(jnp.max(jnp.abs(load_bus), axis=1), 1.0)
+    # The certificate's flow point must be a feasible Tier-2 LP point,
+    # so theta must fit the LP's per-bus angle boxes. theta is gauge-
+    # free per island: center it mid-range per island (masked max/min
+    # through R) before checking. Violations (never observed; the
+    # bound is a 2x min-path overestimate) fall to the LP — soundness
+    # over coverage.
+    tb = jnp.minimum(sys.theta_bound, theta_cap)[None, :]
+    neg_big = np.asarray(1e30, dt)
+
+    def center_theta(theta):
+        masked = theta[:, None, :] * R - neg_big * (1.0 - R)
+        imax = jnp.max(masked, axis=2)
+        imin = -jnp.max(-theta[:, None, :] * R - neg_big * (1.0 - R),
+                        axis=2)
+        return theta - 0.5 * (imax + imin)
+
+    def check(disp_c, shed_c):
+        inj = (disp_c @ sys.gen_bus_onehot.T
+               + shed_c @ sys.load_onehot.T - load_bus)
+        theta0 = pf_solve(inj)
+        # Residual vs the RAW solution (centering shifts theta out of
+        # the projector's null complement, so Lg theta' - inj picks up
+        # the c * shift term by construction — not an error signal).
+        resid = jnp.max(jnp.abs(
+            jnp.einsum("bij,bj->bi", Lg, theta0) - inj), axis=1)
+        theta = center_theta(theta0)
+        f = w * (theta @ minc.T)
+        ok = (jnp.all(jnp.abs(f) <= rate_ok, axis=1)
+              & (resid <= 3e-5 * inj_scale)
+              & jnp.all(jnp.abs(theta) <= tb, axis=1)
+              & jnp.all(jnp.isfinite(f), axis=1))
+        return ok, f
+
+    best_ok, f = check(disp, shed)
+    best_shed, best_disp = shed, disp
+
+    # 5. Repair descent through the reduced network (adjoint solves
+    # reuse the factor).
+    cur_shed, cur_disp, cur_f = shed, disp, f
+    for _ in range(repair_iters):
+        over = jnp.maximum(jnp.abs(cur_f) - sys.br_rate[None, :], 0.0)
+        sgn_over = jnp.sign(cur_f) * over
+        z = pf_solve((w * sgn_over) @ minc)                # [B, nb]
+        grad_g = z @ sys.gen_bus_onehot                    # [B, ng]
+        grad_g = grad_g - jnp.mean(grad_g, axis=1, keepdims=True)
+        step_g = (jnp.sum(over, axis=1) / jnp.maximum(
+            jnp.max(jnp.abs(grad_g), axis=1), 1e-9))[:, None]
+        disp_t = jnp.clip(cur_disp - step_g * grad_g, 0.0, gen_cap)
+        grad_d = z @ sys.load_onehot                       # [B, nd]
+        grad_d = grad_d - jnp.mean(grad_d, axis=1, keepdims=True)
+        step_d = (deficit / jnp.maximum(
+            jnp.max(jnp.abs(grad_d), axis=1), 1e-9))[:, None]
+        shed_t = jnp.clip(cur_shed - step_d * grad_d, 0.0, load_pu)
+        shed_t = _island_rebalance(R, shed_t, load_pu, load_bus * frac,
+                                   sys.load_onehot)
+        disp_t = _island_rebalance(R, disp_t, gen_cap,
+                                   load_bus - shed_t @ sys.load_onehot.T,
+                                   sys.gen_bus_onehot)
+        ok_t, f_t = check(disp_t, shed_t)
+        newly = ~best_ok & ok_t
+        best_shed = jnp.where(newly[:, None], shed_t, best_shed)
+        best_disp = jnp.where(newly[:, None], disp_t, best_disp)
+        best_ok = best_ok | ok_t
+        cur_shed, cur_disp, cur_f = shed_t, disp_t, f_t
+
+    return Certificate(certified=best_ok, deficit=deficit,
+                       shed=best_shed, dispatch=best_disp)
+
+
 def calibrate_shed_hint(sys: System, batch: int = 8192,
                         seed: int = 987,
                         margin_frac: float = 0.02) -> np.ndarray | None:
@@ -1038,8 +1252,28 @@ def default_repair_buffer(batch: int,
     return min(batch, max(2048, batch // (64 if hinted else 8)))
 
 
+def default_pf_buffer(sys: System, batch: int) -> int | None:
+    """Tier-1.5 (``certify_island_pf``) buffer policy.
+
+    Enabled only where it pays: systems on the large-m XLA LP path
+    (m > 336, i.e. past every Pallas-kernel crossover), where one LP
+    lane costs ~ms and the Tier-1 miss class is dominated by deep
+    multi-branch / islanding states the PF certificate closes (~85% of
+    misses at case300s, every one a benign zero-shed state —
+    results/r4_miss.json). Small/mid systems keep ``None``: their
+    misses are ~0.04% and the fused whole-solve IPM kernel clears a
+    256-lane buffer in ~1 ms, so an extra [B, nb, nb] tier would cost
+    more than it saves. 256 lanes is ~5x the measured plain-MC miss
+    rate at case300s (48/8192); overflow beyond it just rides the
+    existing LP-buffer accounting."""
+    if sys.n_bus + sys.n_branch <= 336:
+        return None
+    return min(batch, 256)
+
+
 @partial(jax.jit, static_argnames=("compat", "ipm", "max_lp", "nodal_mode",
-                                   "repair_buffer", "woodbury_k"))
+                                   "repair_buffer", "woodbury_k",
+                                   "pf_buffer"))
 def evaluate_states_screened(sys: System, comp_down: jax.Array,
                              load_pu: jax.Array, max_lp: int,
                              compat: CompatFlags = CompatFlags(),
@@ -1048,7 +1282,8 @@ def evaluate_states_screened(sys: System, comp_down: jax.Array,
                              repair_buffer: int | None = None,
                              woodbury_k: int = 2,
                              pre: Certificate | None = None,
-                             shed_hint: jax.Array | None = None):
+                             shed_hint: jax.Array | None = None,
+                             pf_buffer: int | None = None):
     """Screened evaluation: run the LP only on states that need it.
 
     States certified at ZERO deficit are resolved by Tier 1 alone; states
@@ -1114,6 +1349,41 @@ def evaluate_states_screened(sys: System, comp_down: jax.Array,
         need_lp = ~pre.certified
     else:
         need_lp = ~(pre.certified & (pre.deficit <= 0))
+
+    if pf_buffer:
+        # Tier 1.5: exact reduced-network PF certificate on the
+        # compacted Tier-1 miss buffer — closes the deep-multi-branch
+        # and islanding miss classes Woodbury cannot reach (at case300s
+        # they were ~85% of LP-routed lanes, every one a benign
+        # zero-shed state — results/r4_miss.json), so max_lp shrinks.
+        B_pf = need_lp.shape[0]
+        kpf = min(int(pf_buffer), B_pf)
+        score_pf = need_lp.astype(jnp.int32) * (2 * B_pf) - np.arange(
+            B_pf, dtype=np.int32)
+        _, pidx = jax.lax.top_k(score_pf, kpf)
+        pvalid = (np.arange(kpf, dtype=np.int32) < jnp.sum(need_lp)) \
+            & need_lp[pidx]
+        sub = certify_island_pf(sys, comp_down[pidx], load_pu[pidx],
+                                theta_cap=ipm.theta_max)
+        vc = pvalid[:, None]
+        # The island-copper bound/pattern is valid for UNcertified
+        # buffer lanes too — a tighter overflow fallback than Tier 1's
+        # global copper bound.
+        pre = Certificate(
+            certified=pre.certified.at[pidx].set(
+                pre.certified[pidx] | (pvalid & sub.certified)),
+            deficit=pre.deficit.at[pidx].set(
+                jnp.where(pvalid,
+                          jnp.maximum(sub.deficit, pre.deficit[pidx]),
+                          pre.deficit[pidx])),
+            shed=pre.shed.at[pidx].set(
+                jnp.where(vc, sub.shed, pre.shed[pidx])),
+            dispatch=pre.dispatch.at[pidx].set(
+                jnp.where(vc, sub.dispatch, pre.dispatch[pidx])))
+        if nodal_mode == "proportional":
+            need_lp = ~pre.certified
+        else:
+            need_lp = ~(pre.certified & (pre.deficit <= 0))
 
     # Compaction via top_k: scores rank needy lanes first, each group in
     # ascending lane order. The needy prefix of `idx` matches

@@ -88,24 +88,31 @@ def _make_chol_ops(batch: int, m: int):
         factor = blocked_chol.blocked_cholesky
         solve = blocked_chol.blocked_cho_solve
     elif m > _BLOCKED_MAX_M:
-        # Large-m XLA path (case300 scale, m ~ 792): the f32 Cholesky of
-        # the barrier-weighted normal matrix loses enough accuracy that
-        # Newton directions stall the IPM at mu ~ 1e-4 (observed: 8-60 MW
-        # DNS errors on concentrated deep contingencies vs the HiGHS f64
-        # oracle, scripts/parity_case300.py). Two iterative-refinement
-        # steps against the (retained) scaled matrix restore direction
-        # quality; cost is two extra triangular solves + one [B,m,m]
-        # matvec per solve — small next to the factorization.
+        # Large-m path (case300 scale, m ~ 792): all-matmul blocked
+        # Cholesky + explicit blocked L^-1 (ops/xla_chol.py) — XLA's
+        # native batched cholesky/triangular_solve lower to ~0.5 TFLOP/s
+        # while-loops at this size, and the IPM pays ~12 single-rhs
+        # (m-step sequential) solves per iteration; with the explicit
+        # inverse every solve is two MXU/bandwidth-friendly matvecs.
+        # Numerics ladder unchanged from the prior jnp.linalg.cholesky
+        # revision: the f32 factor of the barrier-weighted normal matrix
+        # stalls Newton directions at mu ~ 1e-4 (8-60 MW hidden DNS
+        # errors vs the HiGHS f64 oracle, scripts/parity_case300.py), so
+        # two iterative-refinement steps against the RETAINED scaled
+        # matrix restore direction quality; the explicit inversion's
+        # extra rounding (~cond(L) vs substitution) rides the same
+        # refinement + best-iterate + quality-guard + escalation net.
+        from powersystemsreliabilityassessment_tpu.ops import xla_chol
+
         def factor(M):
-            return (jnp.linalg.cholesky(M), M)
+            return (xla_chol.factor(M), M)
 
         def solve(FM, r):
-            L, M = FM
-            cs = jax.vmap(lambda LL, rr: jax.scipy.linalg.cho_solve(
-                (LL, True), rr))
-            dy = cs(L, r)
+            F, M = FM
+            dy = xla_chol.solve(F, r)
             for _ in range(2):
-                dy = dy + cs(L, r - jnp.einsum("bij,bj->bi", M, dy))
+                dy = dy + xla_chol.solve(
+                    F, r - jnp.einsum("bij,bj->bi", M, dy))
             return dy
     else:
         def factor(M):

@@ -1,0 +1,144 @@
+"""All-matmul blocked Cholesky + explicit blocked triangular inverse
+for the large-m (m > 336) batched IPM path.
+
+Why this exists: XLA's `jnp.linalg.cholesky` and `triangular_solve` on
+TPU lower to while-loops that run at ~0.5 TFLOP/s effective at
+[128, 792, 792] (measured: 41 ms for one factor + 6 single-rhs solves +
+refinement — scripts/probe_r4_lp_internals.py), which makes the m=792
+LP pass 97% of the case300s step. A single-rhs triangular solve is an
+m-step sequential loop; the IPM needs ~12 of them per iteration.
+
+The fix is to spend the SAME O(m^3) flops in MXU-shaped ops:
+
+  * `blocked_cholesky`: right-looking panel factorization with 128-wide
+    panels — the O(m^3) bulk (trailing updates) becomes [B, r, 128] @
+    [B, 128, r] matmuls; only the 128-wide diagonal-block factor pays
+    XLA's loop lowering (m/128 small chols instead of one big one).
+  * `blocked_inv_lower`: explicit L^-1 by block forward substitution —
+    all matmuls after the m/128 diagonal-block triangular inversions
+    (each against a 128-wide identity, so XLA's solve runs once per
+    panel with 128 rhs instead of once per IPM solve with 1 rhs).
+  * `apply_inv` / `apply_inv_t`: every subsequent cho_solve is then two
+    batched matvecs (bandwidth-bound: one read of L^-1 per apply), with
+    iterative refinement in the caller unchanged.
+
+Numerics: explicit triangular inversion amplifies error by ~cond(L)
+relative to substitution, but this path only ever sees EQUILIBRATED
+normal matrices (unit diagonal, +1e-6 ridge) and every consumer already
+runs 2-step iterative refinement against the retained matrix plus the
+IPM's best-iterate/quality-guard/escalation safety net — the same
+ladder that covers the f32 Cholesky itself. Verified against the f64
+HiGHS oracle by the case300 stress suite (scripts/parity_case300.py).
+
+The m <= 336 regimes keep their Pallas kernels (ops/batched_chol.py,
+ops/blocked_chol.py) — measured faster there; this module wins where
+VMEM budgets rule those out.
+
+Replaces (at case300 scale) the reference's per-state MATPOWER MIPS
+factorization (mc_simulation.m:41, mpoption 'pdipm').
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BS = 128  # panel width: one TPU lane tile
+
+
+def _pad_spd(M: jax.Array, bs: int = BS):
+    """Pad [B, m, m] SPD to a multiple of bs with an identity corner."""
+    m = M.shape[1]
+    mp = ((m + bs - 1) // bs) * bs
+    if mp == m:
+        return M, m
+    pad = mp - m
+    B = M.shape[0]
+    M = jnp.pad(M, ((0, 0), (0, pad), (0, pad)))
+    eye_tail = jnp.zeros((mp, mp), M.dtype).at[
+        np.arange(m, mp), np.arange(m, mp)].set(1.0)
+    return M + eye_tail[None], m
+
+
+def blocked_cholesky(M: jax.Array, bs: int = BS) -> jax.Array:
+    """Right-looking blocked Cholesky of a batch of SPD matrices.
+
+    [B, m, m] -> lower-triangular [B, mp, mp] (mp = m padded to bs;
+    the pad block is identity). The Python panel loop is static
+    (mp/bs iterations), every slice is static, and the trailing
+    update — the O(m^3) term — is a single batched matmul per panel.
+    """
+    A, m = _pad_spd(M, bs)
+    mp = A.shape[1]
+    nblk = mp // bs
+    L = jnp.zeros_like(A)
+    for k in range(nblk):
+        lo, hi = k * bs, (k + 1) * bs
+        Dk = A[:, lo:hi, lo:hi]
+        Lkk = jnp.linalg.cholesky(Dk)
+        L = L.at[:, lo:hi, lo:hi].set(Lkk)
+        if hi < mp:
+            # Panel: P = A[tr, k] L_kk^-T  (right-side triangular solve,
+            # bs-wide — the only loop-lowered op besides the diag chol).
+            Pk = jax.lax.linalg.triangular_solve(
+                Lkk, A[:, hi:, lo:hi], left_side=False, lower=True,
+                transpose_a=True)
+            L = L.at[:, hi:, lo:hi].set(Pk)
+            # Trailing update: one MXU matmul.
+            A = A.at[:, hi:, hi:].add(
+                -jnp.einsum("bik,bjk->bij", Pk, Pk))
+    return L
+
+
+def blocked_inv_lower(L: jax.Array, bs: int = BS) -> jax.Array:
+    """Explicit inverse of a batch of lower-triangular matrices.
+
+    Block forward substitution: invert each bs-wide diagonal block
+    against I_bs (one XLA triangular solve with bs rhs per panel),
+    then fill the strictly-lower blocks with matmuls:
+        Linv[i, j] = -Linv[i, i] @ sum_{j<=k<i} L[i, k] Linv[k, j].
+    Processed row-block by row-block so the inner accumulation is one
+    [B, bs, i*bs] @ [B, i*bs, i*bs] matmul per row block.
+    """
+    mp = L.shape[1]
+    nblk = mp // bs
+    eye = jnp.eye(bs, dtype=L.dtype)
+    inv_diag = []
+    for k in range(nblk):
+        lo, hi = k * bs, (k + 1) * bs
+        inv_diag.append(jax.lax.linalg.triangular_solve(
+            L[:, lo:hi, lo:hi], jnp.broadcast_to(
+                eye, (L.shape[0], bs, bs)), left_side=True, lower=True))
+    Linv = jnp.zeros_like(L)
+    Linv = Linv.at[:, :bs, :bs].set(inv_diag[0])
+    for i in range(1, nblk):
+        lo, hi = i * bs, (i + 1) * bs
+        # S = L[i, :i] @ Linv[:i, :i]   -> [B, bs, i*bs]
+        S = jnp.einsum("bik,bkj->bij", L[:, lo:hi, :lo], Linv[:, :lo, :lo])
+        Linv = Linv.at[:, lo:hi, :lo].set(
+            -jnp.einsum("bik,bkj->bij", inv_diag[i], S))
+        Linv = Linv.at[:, lo:hi, lo:hi].set(inv_diag[i])
+    return Linv
+
+
+def factor(M: jax.Array, bs: int = BS):
+    """Factor an SPD batch for repeated `solve` calls.
+
+    Returns (Linv [B, mp, mp], m) — the explicit inverse Cholesky
+    factor of the padded matrix.
+    """
+    m = M.shape[1]
+    L = blocked_cholesky(M, bs)
+    return blocked_inv_lower(L, bs), m
+
+
+def solve(F, r: jax.Array) -> jax.Array:
+    """M^-1 r via two batched matvecs with L^-1 (no refinement here —
+    callers refine against the retained M exactly as before)."""
+    Linv, m = F
+    mp = Linv.shape[1]
+    if mp != m:
+        r = jnp.pad(r, ((0, 0), (0, mp - m)))
+    t = jnp.einsum("bij,bj->bi", Linv, r)
+    y = jnp.einsum("bji,bj->bi", Linv, t)
+    return y[:, :m]

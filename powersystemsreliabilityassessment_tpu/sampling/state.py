@@ -71,7 +71,8 @@ def sample_states(key: jax.Array, unavail: jax.Array, always_up: jax.Array,
 def sample_states_importance(key: jax.Array, unavail: jax.Array,
                              always_up: jax.Array, batch: int,
                              boost: float,
-                             boost_mask: jax.Array | None = None):
+                             boost_mask: jax.Array | None = None,
+                             q_override: jax.Array | None = None):
     """Importance-sampled state draw: failure-biased proposal + weights.
 
     Variance reduction for rare-event regimes the reference's plain MC
@@ -95,12 +96,22 @@ def sample_states_importance(key: jax.Array, unavail: jax.Array,
     n_out <= woodbury_k eligibility keeps its ~99% closure instead of
     collapsing under boosted multi-branch states.
 
+    ``q_override`` ([n_comp], optional) supplies the proposal rates
+    directly (ignoring ``boost``/``boost_mask``): the per-component
+    tilt of the cross-entropy adaptive scheme
+    (hl2_nsq.calibrate_ce_proposal). Values are clamped to
+    [unavail, 0.5] — the proposal never under-samples a component's
+    failure (which would put likelihood ratios > 1 on failure events).
+
     Returns (down bool [batch, n_comp], weight f32 [batch]).
     """
     n = unavail.shape[0]
-    q = jnp.minimum(boost * unavail, 0.5)
-    if boost_mask is not None:
-        q = jnp.where(boost_mask, q, unavail)
+    if q_override is not None:
+        q = jnp.clip(q_override, unavail, jnp.maximum(unavail, 0.5))
+    else:
+        q = jnp.minimum(boost * unavail, 0.5)
+        if boost_mask is not None:
+            q = jnp.where(boost_mask, q, unavail)
     q = jnp.where(always_up, 0.0, q)
     p = jnp.where(always_up, 0.0, unavail)
     u = jax.random.uniform(key, (batch, n))

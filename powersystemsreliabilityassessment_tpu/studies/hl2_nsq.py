@@ -71,10 +71,12 @@ def default_max_lp(batch_per_device: int, nodal_mode: str = "lp",
 
 
 def default_woodbury_k(sys: System, is_boost: float = 0.0,
-                       is_boost_scope: str = "all") -> int:
+                       is_boost_scope: str = "all",
+                       q_vec: np.ndarray | None = None) -> int:
     """Auto certificate rank: 2 unless >= 3 simultaneous branch outages
     are non-negligible UNDER THE SAMPLING MEASURE (boost included when
-    its scope covers branches), then 4.
+    its scope covers branches; ``q_vec`` supplies the CE-adaptive
+    per-component proposal directly), then 4.
 
     Poisson bound on the branch-outage count N with rate
     lam = sum_k q_k: P(N >= 3) <= 1 - e^-lam (1 + lam + lam^2/2).
@@ -82,12 +84,105 @@ def default_woodbury_k(sys: System, is_boost: float = 0.0,
     selector matmuls are pure cost there); case300s (lam ~ 0.69) gives
     ~3.3e-2 -> rank 4 (matches the measured n_out histogram,
     results/case300_cert_breakdown.json)."""
-    q = np.asarray(sys.unavail, np.float64)[sys.n_gen:]
-    if is_boost > 1.0 and is_boost_scope in ("all", "branches"):
-        q = np.minimum(is_boost * q, 0.5)
+    if q_vec is not None:
+        q = np.asarray(q_vec, np.float64)[sys.n_gen:]
+    else:
+        q = np.asarray(sys.unavail, np.float64)[sys.n_gen:]
+        if is_boost > 1.0 and is_boost_scope in ("all", "branches"):
+            q = np.minimum(is_boost * q, 0.5)
     lam = float(q.sum())
     p_ge3 = 1.0 - np.exp(-lam) * (1.0 + lam + lam * lam / 2.0)
     return 2 if p_ge3 < 1e-4 else 4
+
+
+def calibrate_ce_proposal(sys: System, compat: CompatFlags,
+                          ipm: IPMConfig,
+                          batch: int = 32768, rounds: int = 2,
+                          boost0: float = 4.0, smoothing: float = 0.7,
+                          seed: int = 1717,
+                          shed_hint: np.ndarray | None = None,
+                          log_every: int = 1):
+    """Cross-entropy calibration of the NETWORK-AWARE importance
+    proposal: per-component rates q_k, learned from pilot batches.
+
+    The CE-optimal product-form proposal for estimating E[f] (f = DNS)
+    has marginals q_k* = E_p[f(S) 1(S_k down)] / E_p[f(S)] — estimated
+    here self-normalized under the current proposal (both expectations
+    as w-weighted pilot means, so any proposal gives a consistent
+    estimate). The pilot starts from a uniform BRANCH tilt (boost0) to
+    see enough events, then each round replaces it with the learned
+    marginals (smoothed); two rounds suffice to concentrate the tilt on
+    the deliverability-critical branches that actually co-occur with
+    deficits — exactly the information the uniform boost lacks
+    (case300s pilot: uniform boost 2 made beta WORSE,
+    results/case300_scaleup_pilot.json, because the tilt spends KL
+    budget on ~480 branches that never matter).
+
+    Correctness is decoupled from calibration quality: the returned q
+    only defines a proposal; the study's likelihood ratios are exact
+    for ANY q (clamped to [U, 0.5]), so a bad pilot costs variance,
+    never bias. Returns (q [n_comp] f32, diagnostics dict), or
+    (None, diag) when no pilot round saw a deficit event (caller keeps
+    its configured sampler).
+
+    The reference has no rare-event machinery at all (plain MC,
+    mc_sampling.m); this replaces hand-tuned boost scopes with a
+    measured, system-specific tilt."""
+    from powersystemsreliabilityassessment_tpu.sampling.state import (
+        sample_states_importance)
+
+    ng = sys.n_gen
+    U = np.asarray(sys.unavail, np.float64)
+    always = np.asarray(sys.always_up_nsq)
+    q = U.copy()
+    q[ng:] = np.minimum(boost0 * np.maximum(U[ng:], 1e-9), 0.5)
+    q = np.where(always, 0.0, q)
+
+    load = jnp.broadcast_to(sys.load_pd[None, :], (batch, sys.n_load))
+    hint_j = None if shed_hint is None else jnp.asarray(shed_hint,
+                                                        jnp.float32)
+    max_lp = max(batch // 4, 128)
+    wk = default_woodbury_k(sys, q_vec=q)
+
+    @jax.jit
+    def pilot(key, qv):
+        down, w = sample_states_importance(
+            key, sys.unavail, sys.always_up_nsq, batch, 0.0,
+            q_override=qv)
+        res, n_over = dcopf.evaluate_states_screened(
+            sys, down, load, max_lp, compat, ipm, "proportional",
+            repair_buffer=None, woodbury_k=wk, shed_hint=hint_j,
+            pf_buffer=dcopf.default_pf_buffer(sys, batch))
+        f = res.dns_mw
+        wf = w * f
+        x = down.astype(f.dtype)
+        return (wf @ x, jnp.sum(wf), jnp.sum(wf * wf),
+                jnp.sum((f > 0)), n_over)
+
+    diag = {"rounds": [], "batch": batch, "boost0": boost0}
+    for r in range(rounds):
+        key = jax.random.fold_in(jax.random.key(seed), r)
+        swfx, swf, swf2, n_events, n_over = (
+            np.asarray(v, np.float64) for v in
+            pilot(key, jnp.asarray(q, jnp.float32)))
+        # Relative variance of the wf estimator under the current
+        # proposal (the quantity CE descends).
+        rvar = float(batch * swf2 / max(swf * swf, 1e-30) - 1.0)
+        diag["rounds"].append({
+            "round": r, "events": int(n_events),
+            "overflow": int(n_over), "rel_var_wf": round(rvar, 3),
+            "sum_q_branches": round(float(q[ng:].sum()), 4)})
+        if log_every:
+            print(f"CE round {r}: {int(n_events)} deficit events, "
+                  f"rel-var(wf) {rvar:.1f}, sum q_br "
+                  f"{q[ng:].sum():.3f}, overflow {int(n_over)}")
+        if swf <= 0.0 or n_events < 8:
+            return None, diag
+        q_ce = np.clip(swfx / swf, 0.0, 1.0)
+        q = smoothing * q_ce + (1.0 - smoothing) * q
+        q = np.clip(q, U, 0.5)
+        q = np.where(always, 0.0, q)
+    return q.astype(np.float32), diag
 
 
 def make_nsq_batch_step(sys: System, mesh: Mesh, batch_per_device: int,
@@ -99,7 +194,8 @@ def make_nsq_batch_step(sys: System, mesh: Mesh, batch_per_device: int,
                         is_boost_scope: str = "all",
                         woodbury_k: int | None = None,
                         fused_tier1: bool = False,
-                        shed_hint: np.ndarray | None = None):
+                        shed_hint: np.ndarray | None = None,
+                        is_q: np.ndarray | None = None):
     """Build the jitted, mesh-sharded one-batch step: key -> BatchMoments.
 
     ``cv_arrays = (gen_cap_mw [ng] f32, total_load_mw, mu_e, mu_l)``
@@ -114,16 +210,26 @@ def make_nsq_batch_step(sys: System, mesh: Mesh, batch_per_device: int,
     from powersystemsreliabilityassessment_tpu.sampling.state import (
         sample_states, sample_states_importance)
 
-    assert not (antithetic and is_boost > 0), \
+    assert not (antithetic and (is_boost > 0 or is_q is not None)), \
         "antithetic and importance sampling are mutually exclusive"
     assert not (enum_order > 0 and cv_arrays is not None), \
         "enumeration hybrid and control variate both carry exact-mean " \
         "offsets; combine is not supported"
+    assert not (is_q is not None and (is_boost > 0 or fused_tier1)), \
+        "is_q (CE proposal) replaces is_boost; fused_tier1 is plain-MC"
     if max_lp is None:
-        max_lp = default_max_lp(batch_per_device, nodal_mode, is_boost,
-                                is_boost_scope)
+        if is_q is not None:
+            # CE tilt concentrates on few components, so the deficit /
+            # deep-outage fraction rises far less than under a uniform
+            # branch boost; batch//8 covers the measured need at
+            # case300s with grow-and-redo as the safety net.
+            max_lp = max(batch_per_device // 8, 16)
+        else:
+            max_lp = default_max_lp(batch_per_device, nodal_mode, is_boost,
+                                    is_boost_scope)
     if woodbury_k is None:
-        woodbury_k = default_woodbury_k(sys, is_boost, is_boost_scope)
+        woodbury_k = default_woodbury_k(sys, is_boost, is_boost_scope,
+                                        q_vec=is_q)
     if not 2 <= woodbury_k <= 4:
         # The unrolled Laplace/Cramer kernels in dcopf have factorial
         # cost in k, and the f32 conditioning + 1e-5 det threshold of
@@ -186,6 +292,10 @@ def make_nsq_batch_step(sys: System, mesh: Mesh, batch_per_device: int,
                 dcopf.default_finish_buffer(batch_per_device,
                                             hinted=shed_hint is not None),
                 woodbury_k=woodbury_k)
+        elif is_q is not None:
+            down, weight = sample_states_importance(
+                k, sys.unavail, sys.always_up_nsq, batch_per_device,
+                0.0, q_override=jnp.asarray(is_q, jnp.float32))
         elif is_boost > 0:
             down, weight = sample_states_importance(
                 k, sys.unavail, sys.always_up_nsq, batch_per_device,
@@ -213,9 +323,14 @@ def make_nsq_batch_step(sys: System, mesh: Mesh, batch_per_device: int,
             # LP buffer (absorbed in "lp" mode but forcing grow-and-redo
             # rebuilds in "proportional" mode).
             repair_buffer=dcopf.default_repair_buffer(
-                batch_per_device, max(is_boost, 1.0),
+                batch_per_device,
+                max(is_boost, 2.0 if is_q is not None else 1.0),
                 hinted=shed_hint is not None),
-            woodbury_k=woodbury_k, pre=pre, shed_hint=hint)
+            woodbury_k=woodbury_k, pre=pre, shed_hint=hint,
+            # Tier 1.5 (island-aware reduced-network PF certificate) on
+            # large-m systems: closes the deep/islanding miss class so
+            # the m>336 LP buffer stays at the TRUE positive-shed rate.
+            pf_buffer=dcopf.default_pf_buffer(sys, batch_per_device))
         if enum_order > 0:
             # Tail mask: low-order states are counted exactly by the
             # enumeration pre-pass; only #down > enum_order contributes
@@ -339,8 +454,11 @@ def run_nsq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
         # grows from the buffer actually in use (growing from a wrongly
         # assumed default would rebuild an identical step and waste a
         # full redo + compile).
-        max_lp = default_max_lp(bpd, cfg.nodal_mode, cfg.is_boost,
-                                cfg.is_boost_scope)
+        if cfg.is_ce:
+            max_lp = max(bpd // 8, 16)   # matches the is_q step default
+        else:
+            max_lp = default_max_lp(bpd, cfg.nodal_mode, cfg.is_boost,
+                                    cfg.is_boost_scope)
 
     cv_arrays = None
     if control_variate:
@@ -373,15 +491,35 @@ def run_nsq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
         print("shed-hint calibration: too few repairable lanes; "
               "keeping the load-proportional candidate")
 
+    is_q = None
+    if cfg.is_ce:
+        # Cross-entropy network-aware proposal (calibrate_ce_proposal):
+        # pilot-learned per-component tilt. Falls back to the configured
+        # fixed sampler when the pilot sees no events — unbiasedness
+        # never depends on the calibration outcome.
+        is_q, ce_diag = calibrate_ce_proposal(
+            sys, compat, ipm, batch=cfg.ce_batch, rounds=cfg.ce_rounds,
+            boost0=cfg.ce_boost0, smoothing=cfg.ce_smoothing,
+            seed=cfg.seed + 90210, shed_hint=shed_hint,
+            log_every=log_every)
+        if log_every:
+            if is_q is None:
+                print("CE calibration saw no deficit events; keeping "
+                      "the configured sampler")
+            else:
+                top = np.argsort(is_q[sys.n_gen:])[::-1][:5]
+                print("CE proposal: sum q_br "
+                      f"{float(is_q[sys.n_gen:].sum()):.3f}, top branches "
+                      f"{top.tolist()}")
+
+    step_kwargs = dict(
+        antithetic=cfg.antithetic, nodal_mode=cfg.nodal_mode,
+        is_boost=0.0 if is_q is not None else cfg.is_boost,
+        cv_arrays=cv_arrays, enum_order=enum_order,
+        is_boost_scope=cfg.is_boost_scope, woodbury_k=cfg.woodbury_k,
+        fused_tier1=cfg.fused_tier1, shed_hint=shed_hint, is_q=is_q)
     step = make_nsq_batch_step(sys, mesh, bpd, compat, ipm, max_lp=max_lp,
-                               antithetic=cfg.antithetic,
-                               nodal_mode=cfg.nodal_mode,
-                               is_boost=cfg.is_boost, cv_arrays=cv_arrays,
-                               enum_order=enum_order,
-                               is_boost_scope=cfg.is_boost_scope,
-                               woodbury_k=cfg.woodbury_k,
-                               fused_tier1=cfg.fused_tier1,
-                               shed_hint=shed_hint)
+                               **step_kwargs)
     root = jax.random.key(cfg.seed)
 
     stats = accumulators.RunningStats()
@@ -439,13 +577,7 @@ def run_nsq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
                       f"max_lp to {max_lp} and redoing batch")
                 step = make_nsq_batch_step(
                     sys, mesh, bpd, compat, ipm, max_lp=max_lp,
-                    antithetic=cfg.antithetic, nodal_mode=cfg.nodal_mode,
-                    is_boost=cfg.is_boost, cv_arrays=cv_arrays,
-                    enum_order=enum_order,
-                    is_boost_scope=cfg.is_boost_scope,
-                    woodbury_k=cfg.woodbury_k,
-                    fused_tier1=cfg.fused_tier1,
-                    shed_hint=shed_hint)
+                    **step_kwargs)
                 return True
             overflow += int(n_over)  # buffer already at batch size
         infeasible += int(n_infeas)

@@ -79,7 +79,8 @@ def _years_eval(sys: System, compat: CompatFlags, ipm: IPMConfig,
     res, n_over = dcopf.evaluate_states_screened(
         sys, down_h.reshape(Y * hours, -1),
         jnp.tile(load_h, (Y, 1)), max_lp, compat, ipm, nodal_mode,
-        repair_buffer=max(4096, (Y * hours) // 16))
+        repair_buffer=max(4096, (Y * hours) // 16),
+        pf_buffer=dcopf.default_pf_buffer(sys, Y * hours))
 
     dns = res.dns_mw.reshape(Y, hours)
     flag = dns > compat.seq_curtail_threshold_mw          # [Y, H]

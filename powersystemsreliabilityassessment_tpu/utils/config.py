@@ -72,6 +72,20 @@ class MCSConfig:
     # (boosted branch rates flood the batch with deep multi-branch
     # topologies the certificate must LP-route).
     is_boost_scope: str = "all"
+    # Cross-entropy ADAPTIVE importance sampling (network-aware): a
+    # short pilot phase learns per-COMPONENT proposal rates q_k from
+    # the CE-optimal product-form marginals q_k* = E[f 1(k down)]/E[f]
+    # (f = DNS), so the tilt concentrates on exactly the branches whose
+    # outages drive deficits — the uniform is_boost is provably blind
+    # in network-driven regimes (case300s: boost 2 made beta WORSE,
+    # results/case300_scaleup_pilot.json). Overrides is_boost /
+    # is_boost_scope when True. Unbiased for any learned q (exact
+    # likelihood ratios); the pilot only affects variance.
+    is_ce: bool = False
+    ce_rounds: int = 2              # CE pilot iterations
+    ce_batch: int = 32768           # pilot batch per round
+    ce_boost0: float = 4.0          # round-0 uniform branch boost
+    ce_smoothing: float = 0.7       # q <- a*q_CE + (1-a)*q_prev
     # Certificate multi-branch-outage coverage: post-outage flows are
     # exact (rank-k Woodbury) for outage sets of size <= woodbury_k,
     # deeper sets fall through to the LP. None = auto per system: 2

@@ -97,14 +97,14 @@ def main() -> None:
             repair_buffer=rb, woodbury_k=wk)
         return c.certified, c.deficit
 
-    def make_screened(ipm):
+    def make_screened(ipm, max_lp=None, pf_buffer=None):
         @jax.jit
         def stage_screened(key):
             down = draw(key)
             res, n_over = dcopf.evaluate_states_screened(
-                sys_, down, load, args.max_lp, compat, ipm,
+                sys_, down, load, max_lp or args.max_lp, compat, ipm,
                 "proportional", repair_buffer=rb, woodbury_k=wk,
-                shed_hint=hint_j)
+                shed_hint=hint_j, pf_buffer=pf_buffer)
             return res.dns_mw, n_over
         return stage_screened
 
@@ -133,19 +133,23 @@ def main() -> None:
     out["stages"]["certify"]["compile_s"] = round(c_compile, 1)
     print("certify", out["stages"]["certify"], flush=True)
 
-    for name, ipm in [
-            ("screened_prod", IPMConfig()),
-            ("lp_r1e2", IPMConfig()),
-            ("lp_r1e0", IPMConfig(escalate_passes=0)),
-            ("lp_r0e0", IPMConfig(restarts=0, escalate_passes=0)),
+    pf = dcopf.default_pf_buffer(sys_, B)
+    for name, fn in [
+            ("screened_prod", make_screened(IPMConfig())),
+            ("screened_pf", make_screened(IPMConfig(), pf_buffer=pf)),
+            ("screened_pf_lp32", make_screened(IPMConfig(), max_lp=32,
+                                               pf_buffer=pf)),
+            ("lp_r1e2", make_lp(IPMConfig())),
+            ("lp_r0e0", make_lp(IPMConfig(restarts=0, escalate_passes=0))),
     ]:
-        fn = make_screened(ipm) if name.startswith("screened") \
-            else make_lp(ipm)
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(jax.random.key(2)))
+        first = fn(jax.random.key(2))
+        jax.block_until_ready(first)
         comp = time.perf_counter() - t0
         out["stages"][name] = timed(fn, 300)
         out["stages"][name]["compile_s"] = round(comp, 1)
+        if name.startswith("screened"):
+            out["stages"][name]["n_overflow_warm"] = int(first[1])
         print(name, out["stages"][name], flush=True)
 
     # Certificate miss counts over 8 fresh batches (sizes max_lp).

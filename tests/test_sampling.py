@@ -163,6 +163,67 @@ class TestImportance:
         est = np.asarray(down, np.float64).mean(axis=0)
         np.testing.assert_allclose(est, np.asarray(u), atol=0.06)
 
+    def test_q_override_weights_exact(self):
+        # Vector proposal (CE path): weights are the exact per-component
+        # likelihood ratio for the CLAMPED q.
+        u = jnp.asarray(twostate.unavailability(cases.rts24()), jnp.float32)
+        always = jnp.zeros(71, bool).at[14].set(True)
+        rng = np.random.default_rng(2)
+        qv = np.clip(np.asarray(u) * rng.uniform(0.5, 30.0, 71), 0, 0.5)
+        down, w = state.sample_states_importance(
+            jax.random.key(8), u, always, 512, 0.0,
+            q_override=jnp.asarray(qv, jnp.float32))
+        down = np.asarray(down)
+        w = np.asarray(w, np.float64)
+        un = np.asarray(u, np.float64)
+        q = np.clip(qv, un, 0.5)      # the sampler's clamp
+        free = ~np.asarray(always)
+        for i in range(0, 512, 41):
+            x = down[i]
+            ratio = np.prod(np.where(
+                free, np.where(x, un / q, (1 - un) / (1 - q)), 1.0))
+            assert w[i] == pytest.approx(ratio, rel=1e-4)
+        assert not down[:, 14].any()
+
+    def test_ce_calibration_and_unbiasedness(self):
+        # CE pilot on RTS-24 (capacity-driven): learns a valid proposal
+        # (q in [U, 0.5], pinned stays 0, gens tilted since deficits are
+        # capacity-driven) and the CE study agrees with plain MC.
+        from powersystemsreliabilityassessment_tpu.core.system import (
+            build_system)
+        from powersystemsreliabilityassessment_tpu.studies import hl2_nsq
+        from powersystemsreliabilityassessment_tpu.utils.config import (
+            CompatFlags, IPMConfig, MCSConfig)
+        case = cases.rts24()
+        sysm = build_system(case, CompatFlags())
+        q, diag = hl2_nsq.calibrate_ce_proposal(
+            sysm, CompatFlags(), IPMConfig(), batch=2048, rounds=2,
+            boost0=3.0, log_every=0)
+        assert q is not None
+        un = np.asarray(sysm.unavail, np.float64)
+        always = np.asarray(sysm.always_up_nsq)
+        assert np.all(q[~always] >= un[~always] - 1e-6)
+        assert np.all(q <= 0.5 + 1e-6)
+        assert np.all(q[always] == 0.0)
+        # capacity-driven system: the learned gen tilt dominates
+        assert float(q[:case.n_gen].sum() - un[:case.n_gen].sum()) > \
+            float(q[case.n_gen:].sum() - un[case.n_gen:].sum())
+        # variance diagnostic improves (or at least does not blow up)
+        assert diag["rounds"][-1]["events"] >= 8
+
+        from powersystemsreliabilityassessment_tpu.studies.hl2_nsq import (
+            run_nsq_study)
+        plain = run_nsq_study(case,
+                              MCSConfig(batch_size=1024, max_samples=4096,
+                                        seed=9), log_every=0)
+        cer = run_nsq_study(case,
+                            MCSConfig(batch_size=1024, max_samples=4096,
+                                      seed=9, is_ce=True, ce_batch=2048,
+                                      ce_rounds=2, ce_boost0=3.0),
+                            log_every=0)
+        assert cer.edns_mw == pytest.approx(plain.edns_mw, rel=0.35)
+        assert np.isfinite(cer.beta)
+
     def test_nsq_study_importance_agrees_with_plain(self):
         from powersystemsreliabilityassessment_tpu.studies.hl2_nsq import (
             run_nsq_study)
