@@ -191,6 +191,14 @@ def build_state_lp_vectors(sys: System, gen_up: jax.Array,
     return c, b, l, u, colscale
 
 
+# Relative flow-block diagonal lift for the block-Schur normal solve
+# (make_dc_linops.schur_factor): bounds the 1/dphi cancellation
+# amplification on pinned-flow lanes; compensated exactly in the Schur
+# complement's gamma term and removed by the IPM's refinement against
+# the true operator.
+_SCHUR_LIFT = 1e-5
+
+
 def make_dc_linops(sys: System, gen_col: jax.Array, br_up: jax.Array):
     """Structured :class:`lp_ipm_batched.LinOps` for the DC-OPF LP.
 
@@ -263,10 +271,107 @@ def make_dc_linops(sys: System, gen_col: jax.Array, br_up: jax.Array):
     def normal(d):
         return gram(1.0 / d)
 
+    def schur_factor(w, ridge: float = 0.0, delta: float = 1e-6):
+        """Block-Schur factorization of ``A diag(w) A' + ridge*I``.
+
+        The m = nb + nl normal matrix of this LP has the 2x2 block form
+        [[lap(wf) + diag(dbal), -minc' diag(wf/b)], [., diag(wf/b^2) +
+        (br_up mref)' diag(wt) (br_up mref)]]. Two exact reductions
+        collapse its solve to TWO [nb, nb] SPD systems:
+
+        1. Woodbury through the flow block:  N_ff^-1 = Dphi^-1 -
+           Dphi^-1 U K^-1 U' Dphi^-1 with U = br_up*mref and
+           K = diag(1/wt) + mref' diag(br_up^2 / Dphi) mref.
+        2. Schur onto the balance block, where the Laplacian term
+           cancels ANALYTICALLY against the flow sandwich when
+           ridge = 0 (diag(wf/b) Dphi^-1 diag(wf/b) = diag(wf)):
+           S = diag(dbal) + G K^-1 G' [+ lap(wf*ridge/Dphi)] with
+           G = minc' diag(wf/b * br_up / Dphi) mref (= minc'
+           diag(b*br_up) mref at ridge 0 — independent of w).
+
+        At case300s this replaces the latency-bound [B, 792, 792] XLA
+        factorization (~41 ms per factor+solves, the 97% LP tail of the
+        screened step) with two [B, 300, 300] explicit inverses riding
+        the Pallas panel kernels — all MXU matmuls. f32 error from the
+        explicit inverses/ridge is removed by the caller's refinement
+        against the matrix-free operator plus the IPM's quality-guard/
+        escalation ladder (same contract as the dense f32 path).
+        Replaces MATPOWER MIPS's per-state sparse factorization
+        (mc_simulation.m:41) at the scale where MATLAB's serial loop
+        is the reference's bottleneck (README.md:47-49).
+        """
+        from powersystemsreliabilityassessment_tpu.ops import xla_chol
+        wg, ws, wf, wt = split(w)
+        dbal = (wg * gen_col * gen_col) @ cg.T + ws @ cd.T + ridge
+        alpha = wf * inv_b[None, :]                      # [B, nl]
+        # Relative diagonal lift on the flow block: the Woodbury
+        # application divides by dphi, and lanes with wf -> 0 (flow
+        # variable pinned at a bound, d_f huge) make that division a
+        # catastrophic f32 cancellation amplifier. Lifting dphi by a
+        # small fraction of the theta-congruence row scale q bounds the
+        # amplification; the lift is compensated EXACTLY in S via the
+        # gamma term below, so the factorization represents the lifted
+        # matrix consistently and the caller's refinement vs the true
+        # operator removes it (contraction ~ _SCHUR_LIFT relative).
+        q = br_up * br_up * (wt @ (mref * mref).T)       # [B, nl]
+        dphi = wf * inv_b2 + ridge + _SCHUR_LIFT * q
+        kw = br_up * br_up / dphi
+        K = (jnp.einsum("lb,Bl,lc->Bbc", mref, kw, mref)
+             + (1.0 / wt)[:, :, None] * eye_nb)
+        Kinv = xla_chol.inv_spd_equilibrated(K, delta)
+
+        def ksolve_mat(V):                               # K^-1 V, refined
+            Z = jnp.einsum("bij,bjk->bik", Kinv, V)
+            return Z + jnp.einsum(
+                "bij,bjk->bik", Kinv,
+                V - jnp.einsum("bij,bjk->bik", K, Z))
+
+        gw = alpha * br_up / dphi
+        G = jnp.einsum("lb,Bl,lc->Bbc", minc, gw, mref)
+        S = jnp.einsum("bij,bjk->bik", G, ksolve_mat(jnp.swapaxes(G, 1, 2)))
+        S = 0.5 * (S + jnp.swapaxes(S, 1, 2))
+        # Exact residue of the balance-block sandwich: lap(wf) -
+        # minc' diag(alpha^2/dphi) minc = lap(gamma) with gamma =
+        # wf * (dphi - wf*inv_b^2)/dphi — zero only at ridge = lift = 0;
+        # this form has no cancellation.
+        gam = wf * (ridge + _SCHUR_LIFT * q) / dphi
+        S = S + jnp.einsum("lb,Bl,lc->Bbc", minc, gam, minc)
+        S = S + dbal[:, :, None] * eye_nb
+        Sinv = xla_chol.inv_spd_equilibrated(S, delta)
+        return (alpha, dphi, K, Kinv, S, Sinv)
+
+    def schur_solve(F, r):
+        """One block-elimination pass y ~ N^-1 r (caller refines)."""
+        alpha, dphi, K, Kinv, S, Sinv = F
+        rb, rf = r[:, :nb], r[:, nb:]
+
+        def kvec(v):                                     # K^-1 v, refined
+            z = jnp.einsum("bi,bij->bj", v, Kinv)
+            return z + jnp.einsum(
+                "bi,bij->bj",
+                v - jnp.einsum("bij,bj->bi", K, z), Kinv)
+
+        def ff_inv(v):                                   # N_ff^-1 v
+            # Solve form: subtract in v's scale BEFORE the 1/dphi
+            # division (the difference-of-inverses form amplifies f32
+            # error by 1/dphi twice).
+            h = kvec((br_up * (v / dphi)) @ mref)
+            return (v - br_up * (h @ mref.T)) / dphi
+
+        u = ff_inv(rf)
+        rhs_b = rb + (alpha * u) @ minc                  # rb - N_bf u
+        yb = jnp.einsum("bi,bij->bj", rhs_b, Sinv)
+        yb = yb + jnp.einsum(
+            "bi,bij->bj",
+            rhs_b - jnp.einsum("bij,bj->bi", S, yb), Sinv)
+        yf = ff_inv(rf + alpha * (yb @ minc.T))          # rf - N_fb yb
+        return jnp.concatenate([yb, yf], axis=1)
+
     def take(idx):
         return make_dc_linops(sys, gen_col[idx], br_up[idx])
 
-    return LinOps(mv, mtv, gram, normal, take)
+    return LinOps(mv, mtv, gram, normal, take,
+                  schur_factor=schur_factor, schur_solve=schur_solve)
 
 
 def connected_to_ref(sys: System, br_up: jax.Array) -> jax.Array:

@@ -125,8 +125,45 @@ def _make_chol_ops(batch: int, m: int):
 
 
 
+def _schur_solvers(mv_fn, mtv_fn, schur_factor, schur_solve, delta):
+    """(factor, solve) pair over gram-convention weights for the
+    block-Schur structured path: factor(w, ridge) builds the two-block
+    inverse; solve refines the single substitution pass against the
+    MATRIX-FREE operator A diag(w) A' + ridge*I — removing the explicit
+    inverses' f32 rounding and the per-block equilibration ridge, so
+    accuracy matches the dense path's refined Cholesky."""
+    def nfactor(w, ridge: float = 0.0):
+        return (schur_factor(w, ridge, delta), w, ridge)
+
+    def nsolve(F3, rhs):
+        F, w, ridge = F3
+
+        def apply_n(v):
+            out = mv_fn(w * mtv_fn(v))
+            return out + ridge * v if ridge else out
+
+        # Keep-best across refinement iterates: at extreme barrier-weight
+        # spans (late-IPM d in [1e-6, 1e10]) the refinement can DIVERGE
+        # — the factor's f32 error is no longer a contraction — and a
+        # diverged direction poisons the whole lane. Never return an
+        # iterate with a worse residual than the best seen (same guard
+        # as ops/blocked_chol.blocked_cho_solve).
+        dy = schur_solve(F, rhs)
+        best_dy = dy
+        best_rn = jnp.max(jnp.abs(rhs - apply_n(dy)), axis=1)
+        for _ in range(2):
+            dy = dy + schur_solve(F, rhs - apply_n(dy))
+            rn = jnp.max(jnp.abs(rhs - apply_n(dy)), axis=1)
+            better = rn < best_rn
+            best_dy = jnp.where(better[:, None], dy, best_dy)
+            best_rn = jnp.minimum(rn, best_rn)
+        return best_dy
+
+    return nfactor, nsolve
+
+
 def polish_box_lp(state, c, b, l, u, cfg: IPMConfig, mv_fn, mtv_fn,
-                  gram_fn) -> LPBatchSolution:
+                  gram_fn, schur=None) -> LPBatchSolution:
     """Shared post-iteration polish for the batched IPM variants.
 
     ``state`` is the loop-carried iterate (x, y, zl, zu, best_score,
@@ -160,10 +197,15 @@ def polish_box_lp(state, c, b, l, u, cfg: IPMConfig, mv_fn, mtv_fn,
         chol, s = chol_s
         return s * chol_solve(chol, s * rhs)
 
-    chol_aat = equilibrated_chol(gram_fn(jnp.ones_like(x)))
+    if schur is not None:
+        nfactor, fsolve = _schur_solvers(mv_fn, mtv_fn, *schur, delta)
+        chol_aat = nfactor(jnp.ones_like(x))
+    else:
+        fsolve = eq_solve
+        chol_aat = equilibrated_chol(gram_fn(jnp.ones_like(x)))
 
     def project(xv):
-        return xv + mtv_fn(eq_solve(chol_aat, b - mv_fn(xv)))
+        return xv + mtv_fn(fsolve(chol_aat, b - mv_fn(xv)))
 
     width = u - l
 
@@ -185,10 +227,12 @@ def polish_box_lp(state, c, b, l, u, cfg: IPMConfig, mv_fn, mtv_fn,
     w = jnp.where(at_l | at_u, 1e2, 1e-4)
     rhs = mtv_fn(b) + w * target
     winv = 1.0 / w
-    K = gram_fn(winv) + eye_m
-    cholK = equilibrated_chol(K)
+    if schur is not None:
+        cholK = nfactor(winv, 1.0)
+    else:
+        cholK = equilibrated_chol(gram_fn(winv) + eye_m)
     t1 = winv * rhs
-    t2 = eq_solve(cholK, mv_fn(t1))
+    t2 = fsolve(cholK, mv_fn(t1))
     xp = t1 - winv * mtv_fn(t2)
     xp = jnp.clip(project(xp), l, u)
     ok = (jnp.all(jnp.isfinite(xp), axis=-1)
@@ -224,6 +268,13 @@ class LinOps(NamedTuple):
     gram: object      # w [B,n] -> A diag(w) A'     [B,m,m]
     normal: object    # d [B,n] -> A diag(1/d) A'   [B,m,m]
     take: object      # idx [k] -> LinOps over the idx lanes
+    # Optional block-Schur factorization of A diag(w) A' + ridge*I for
+    # structured A (see dcopf.make_dc_linops): factor(w, ridge, delta)
+    # -> opaque F; solve(F, r [B,m]) -> one UNrefined substitution pass
+    # (the IPM core refines against the matrix-free operator). None on
+    # dense operators; used by the large-m path when present.
+    schur_factor: object = None
+    schur_solve: object = None
 
 
 def dense_linops(A) -> LinOps:
@@ -280,6 +331,14 @@ def solve_box_lp_ops(c, b, l, u, ops: LinOps,
     m = b.shape[1]
 
     factor, chol_solve = _make_chol_ops(B, m)
+    # Structured block-Schur normal solve (dcopf.make_dc_linops): at
+    # case300 scale the [B, 792, 792] factor is latency-bound on XLA's
+    # loop-lowered cholesky/triangular_solve (independent of lane count
+    # 32 vs 128 — results/case300_step_profile_r4.json); the Schur
+    # reduction solves two [B, nb, nb] systems with Pallas panel
+    # kernels + MXU matmuls instead.
+    use_schur = (ops.schur_factor is not None and m > _BLOCKED_MAX_M
+                 and cfg.large_m_schur)
 
     width = u - l
     margin = 1e-9 * _pos(width)
@@ -300,6 +359,15 @@ def solve_box_lp_ops(c, b, l, u, ops: LinOps,
         chol, s = chol_s
         return s * chol_solve(chol, s * rhs)
 
+    if use_schur:
+        s_factor, s_solve = _schur_solvers(
+            ops.mv, ops.mtv, ops.schur_factor, ops.schur_solve, delta)
+        nfactor = lambda d: s_factor(1.0 / d)
+        nsolve = s_solve
+    else:
+        nfactor = lambda d: equilibrated_chol(ops.normal(d))
+        nsolve = eq_solve
+
     x0 = 0.5 * (l + u)
     y0 = jnp.zeros_like(b)
     z0 = jnp.ones_like(c)
@@ -307,7 +375,7 @@ def solve_box_lp_ops(c, b, l, u, ops: LinOps,
     def newton_step(d, sl, su, zl, zu, rd, rp, rcl, rcu, chol_s):
         rhat = rd - rcl / sl + rcu / su                   # [B,n]
         rhs = rp + ops.mv(rhat / d)                       # [B,m]
-        dy = eq_solve(chol_s, rhs)
+        dy = nsolve(chol_s, rhs)
         dx = (ops.mtv(dy) - rhat) / d
         dzl = (rcl - zl * dx) / sl
         dzu = (rcu + zu * dx) / su
@@ -344,7 +412,7 @@ def solve_box_lp_ops(c, b, l, u, ops: LinOps,
         done = done | (mu < cfg.mu_tol)
 
         d = jnp.clip(zl / sl + zu / su, 1e-6, 1e10)
-        chol_s = equilibrated_chol(ops.normal(d))
+        chol_s = nfactor(d)
 
         centering = (mu < cfg.center_tol)[:, None]
 
@@ -391,7 +459,9 @@ def solve_box_lp_ops(c, b, l, u, ops: LinOps,
             0, iters or cfg.iterations, body, state)
         return polish_box_lp(
             (x, y, zl, zu, best_score, best_x), c, b, l, u, cfg,
-            mv_fn=ops.mv, mtv_fn=ops.mtv, gram_fn=ops.gram)
+            mv_fn=ops.mv, mtv_fn=ops.mtv, gram_fn=ops.gram,
+            schur=((ops.schur_factor, ops.schur_solve) if use_schur
+                   else None))
 
     sol = one_pass(x_init if x_init is not None else x0)
     # Large-m stall rescue: lanes can converge to near-complementary but
@@ -405,8 +475,14 @@ def solve_box_lp_ops(c, b, l, u, ops: LinOps,
     # then objective), so well-converged lanes cannot regress.
     n_restarts = (cfg.restarts if cfg.restarts is not None
                   else (1 if m > _BLOCKED_MAX_M else 0))
-    k = cfg.restart_compact
-    if n_restarts > 0 and m > _BLOCKED_MAX_M and 0 < k < B:
+    # Clamped to the buffer: a buffer no larger than restart_compact
+    # (the 4-lane stress suites, tiny probe runs) takes the whole-buffer
+    # "compacted" restart — which is exactly a full restart pass, but
+    # through the DENSE rescue sub-solve (essential under the Schur
+    # bulk pass: the rescue must not share the bulk pass's failure
+    # mode on hard lanes).
+    k = min(cfg.restart_compact, B)
+    if n_restarts > 0 and m > _BLOCKED_MAX_M and 0 < k:
         # Compacted restart (round 3): at m = 792 each 16-iter pass costs
         # ~0.95 s per 128-lane buffer and the unconditional full-buffer
         # restart doubled the whole case300 step — yet in production only
@@ -423,20 +499,55 @@ def solve_box_lp_ops(c, b, l, u, ops: LinOps,
         # (adversarial all-hard batches, e.g. the deep-contingency
         # stress suite). Per-lane merge keeps whichever solution wins.
         score = sol.primal_residual + 2 * n * sol.duality_gap
-        _, idx = jax.lax.top_k(score, k)
-        sub_cfg = dataclasses.replace(cfg, restart_compact=0)
-        li, ui = l[idx], u[idx]
-        sub_x0 = jnp.clip(sol.x[idx], li + 0.02 * (ui - li),
-                          ui - 0.02 * (ui - li))
-        sub = solve_box_lp_ops(c[idx], b[idx], li, ui, ops.take(idx),
-                               sub_cfg, x_init=sub_x0)
-        cand = LPBatchSolution(
-            x=sol.x.at[idx].set(sub.x),
-            objective=sol.objective.at[idx].set(sub.objective),
-            primal_residual=sol.primal_residual.at[idx].set(
-                sub.primal_residual),
-            duality_gap=sol.duality_gap.at[idx].set(sub.duality_gap))
-        sol = _merge_lanes(cand, sol)
+        # The rescue sub-solve runs the DENSE factorization: the worst-k
+        # lanes are exactly the ones whose barrier weights have drifted
+        # into the regimes where the block-Schur solve's f32 error grows
+        # (pinned-flow cancellation), and at k ~ 32 lanes the dense
+        # [k, m, m] factor is cheap. Fast Schur for the bulk pass,
+        # dense Cholesky for the hard-lane ladder. restarts=0: the
+        # per-lane cold start below already recovers garbage-basin
+        # lanes (the dense first pass solved the whole deep-contingency
+        # stress suite exactly from cold), and the sub's own cond-gated
+        # escalation remains the net for stragglers.
+        sub_cfg = dataclasses.replace(cfg, restart_compact=0,
+                                      large_m_schur=False, restarts=0)
+
+        def run_rescue(sol_in):
+            _, idx = jax.lax.top_k(score, k)
+            li, ui = l[idx], u[idx]
+            sub_x0 = jnp.clip(sol_in.x[idx], li + 0.02 * (ui - li),
+                              ui - 0.02 * (ui - li))
+            # Per-lane warm/cold choice: a lane whose pass-1 quality
+            # score is catastrophically bad (>> the 5e-3 trust guard)
+            # is in a garbage basin — warm-starting the rescue there
+            # traps the dense sub-solve at the same suboptimal point
+            # (observed on the deep-contingency suite under the Schur
+            # pass: 154 MW stuck through restart AND escalation). Such
+            # lanes restart from the box midpoint instead; mildly-
+            # stalled lanes keep the warm start that made the compacted
+            # restart pay in round 3.
+            cold = (score[idx] > 10 * cfg.escalate_tol)[:, None]
+            sub_x0 = jnp.where(cold, 0.5 * (li + ui), sub_x0)
+            sub = solve_box_lp_ops(c[idx], b[idx], li, ui, ops.take(idx),
+                                   sub_cfg, x_init=sub_x0)
+            cand = LPBatchSolution(
+                x=sol_in.x.at[idx].set(sub.x),
+                objective=sol_in.objective.at[idx].set(sub.objective),
+                primal_residual=sol_in.primal_residual.at[idx].set(
+                    sub.primal_residual),
+                duality_gap=sol_in.duality_gap.at[idx].set(
+                    sub.duality_gap))
+            return tuple(_merge_lanes(cand, sol_in))
+
+        # Cond-gated: a buffer whose every lane already meets the
+        # evaluator's 5e-3 trust tolerance has nothing to rescue — the
+        # left-behind bound that justified compaction in round 3 then
+        # covers the WHOLE buffer, and the clean-batch fast path skips
+        # the dense pass entirely (the common case once certificates +
+        # shed hint route only benign lanes here).
+        sol = LPBatchSolution(*jax.lax.cond(
+            jnp.any(score > cfg.escalate_tol), run_rescue,
+            lambda sol_in: tuple(sol_in), sol))
         n_restarts = 0   # the sub-solve ran them (plus its escalation)
     for _ in range(n_restarts):
         prev = sol

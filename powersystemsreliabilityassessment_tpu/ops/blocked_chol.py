@@ -247,6 +247,45 @@ def blocked_cho_solve(factor, r: jax.Array) -> jax.Array:
     return best_x
 
 
+def explicit_spd_inv(M: jax.Array) -> jax.Array:
+    """Explicit M^-1 of an SPD batch via the Pallas panel factor.
+
+    For the block-Schur large-m IPM path (engines/lp_ipm_batched), which
+    needs M^-1 both applied to a MATRIX right-hand side (forming the
+    Schur complement S = D + G K^-1 G') and as repeated per-iteration
+    matvecs — an explicit inverse turns every downstream use into an
+    MXU matmul, with zero loop-lowered XLA ops past the factor itself.
+
+    Route: blocked Pallas factor (panel lift + probe/XLA-rescue as in
+    :func:`blocked_cholesky`), per-panel L_ii^-1 by identity-rhs
+    ``trsm_fwd`` (the only non-matmul ops), L^-1 assembled by block
+    forward substitution in matmuls, then M^-1 = L^-T L^-1. The lift
+    perturbation and the explicit-inverse rounding (~cond(L) vs
+    substitution) are both removed by the CALLER's iterative
+    refinement against the true operator — same contract as
+    :func:`blocked_cho_solve`'s internal refinement.
+    """
+    panels, Ls, Loff, _ = blocked_cholesky(M)
+    B, m, _ = M.shape
+    inv_diag = []
+    for i, (i0, i1) in enumerate(panels):
+        p = i1 - i0
+        eyeb = jnp.broadcast_to(jnp.eye(p, dtype=M.dtype)[None],
+                                (B, p, p))
+        inv_diag.append(bc.from_batch_minor(
+            trsm_fwd(Ls[i], bc.to_batch_minor(eyeb))))
+    Linv = jnp.zeros_like(M)
+    Linv = Linv.at[:, :panels[0][1], :panels[0][1]].set(inv_diag[0])
+    for i in range(1, len(panels)):
+        i0, i1 = panels[i]
+        slab = jnp.concatenate([Loff[(i, k)] for k in range(i)], axis=2)
+        S = jnp.einsum("bpk,bkj->bpj", slab, Linv[:, :i0, :i0])
+        Linv = Linv.at[:, i0:i1, :i0].set(
+            -jnp.einsum("bpq,bqj->bpj", inv_diag[i], S))
+        Linv = Linv.at[:, i0:i1, i0:i1].set(inv_diag[i])
+    return jnp.einsum("bki,bkj->bij", Linv, Linv)
+
+
 def _blocked_substitute(panels, Ls, Loff, r: jax.Array) -> jax.Array:
     """One forward+backward substitution pass through the panel factor."""
     n_p = len(panels)

@@ -132,6 +132,36 @@ def factor(M: jax.Array, bs: int = BS):
     return blocked_inv_lower(L, bs), m
 
 
+def inv_spd_equilibrated(M: jax.Array, delta: float = 1e-6) -> jax.Array:
+    """Explicit inverse of an SPD batch, Jacobi-equilibrated + ridged.
+
+    Returns ``approx (M + delta*diag(M))^-1`` as a dense [B, m, m]
+    array: M is scaled to unit diagonal, ridged by ``delta * I``,
+    inverted explicitly, and scaled back. Backend dispatch mirrors
+    :func:`lp_ipm_batched._make_chol_ops`: the Pallas panel path
+    (ops/blocked_chol.explicit_spd_inv) on TPU for m <= 336 with a
+    lane-multiple batch — the case the block-Schur IPM hits (K and S
+    are [B, nb, nb], nb <= 336 for every supported case) — else the
+    all-matmul XLA blocked factor + inverse from this module.
+
+    The perturbation (ridge + panel lift + explicit-inverse rounding)
+    is removed by the caller's iterative refinement against the TRUE
+    operator; see lp_ipm_batched's structured-normal solve.
+    """
+    B, m, _ = M.shape
+    diag = jnp.diagonal(M, axis1=1, axis2=2)
+    s = jax.lax.rsqrt(jnp.maximum(diag, 1e-30))
+    eye = np.eye(m, dtype=M.dtype)
+    Ms = M * s[:, :, None] * s[:, None, :] + np.asarray(delta, M.dtype) * eye
+    if jax.default_backend() == "tpu" and B % 128 == 0 and m <= 336:
+        from powersystemsreliabilityassessment_tpu.ops import blocked_chol
+        Minv_s = blocked_chol.explicit_spd_inv(Ms)
+    else:
+        Linv, _ = factor(Ms)
+        Minv_s = jnp.einsum("bki,bkj->bij", Linv, Linv)[:, :m, :m]
+    return Minv_s * s[:, :, None] * s[:, None, :]
+
+
 def solve(F, r: jax.Array) -> jax.Array:
     """M^-1 r via two batched matvecs with L^-1 (no refinement here —
     callers refine against the retained M exactly as before)."""

@@ -449,16 +449,19 @@ def run_nsq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
     meshlib.warmup_backend()
     n_dev = mesh.devices.size
     bpd = max(cfg.batch_size // n_dev, 1)
-    if max_lp is None:
+    ce_auto_lp = max_lp is None and cfg.is_ce
+    if max_lp is None and not cfg.is_ce:
         # Resolve the step's default HERE so consume()'s doubling always
         # grows from the buffer actually in use (growing from a wrongly
         # assumed default would rebuild an identical step and waste a
-        # full redo + compile).
-        if cfg.is_ce:
-            max_lp = max(bpd // 8, 16)   # matches the is_q step default
-        else:
-            max_lp = default_max_lp(bpd, cfg.nodal_mode, cfg.is_boost,
-                                    cfg.is_boost_scope)
+        # full redo + compile). The CE case defers to after calibration:
+        # the pilot MEASURES the deficit fraction under the learned
+        # proposal, which is the right sizing input (a CE tilt on a
+        # capacity-driven system legitimately drives >50% of draws into
+        # deficit — that is what CE optimality means — and a guessed
+        # buffer forces multi-recompile grow-and-redo cycles).
+        max_lp = default_max_lp(bpd, cfg.nodal_mode, cfg.is_boost,
+                                cfg.is_boost_scope)
 
     cv_arrays = None
     if control_variate:
@@ -511,6 +514,21 @@ def run_nsq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
                 print("CE proposal: sum q_br "
                       f"{float(is_q[sys.n_gen:].sum()):.3f}, top branches "
                       f"{top.tolist()}")
+    if ce_auto_lp:
+        if is_q is None:
+            max_lp = default_max_lp(bpd, cfg.nodal_mode, cfg.is_boost,
+                                    cfg.is_boost_scope)
+        else:
+            # Sized from the pilot's measured deficit fraction under
+            # the (near-final) proposal, x1.5 margin + 64; the
+            # grow-and-redo loop remains the safety net for drift
+            # between the pilot-round and final proposals.
+            frac = ce_diag["rounds"][-1]["events"] / cfg.ce_batch
+            need = int(1.5 * frac * bpd) + 64
+            max_lp = min(bpd, ((need + 127) // 128) * 128)
+            if log_every:
+                print(f"CE max_lp: {max_lp} (pilot deficit frac "
+                      f"{frac:.3f})")
 
     step_kwargs = dict(
         antithetic=cfg.antithetic, nodal_mode=cfg.nodal_mode,

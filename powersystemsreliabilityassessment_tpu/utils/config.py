@@ -168,6 +168,16 @@ class IPMConfig:
     # scale, no [B, m, n] tensor) instead of materializing A. False
     # falls back to the dense path (debug / A/B).
     structured_gram: bool = True
+    # Block-Schur structured normal solve for the large-m path (needs
+    # structured_gram's LinOps): reduce the [B, m, m] factorization to
+    # two [B, nb, nb] explicit inverses (Woodbury through the flow
+    # block + Schur onto the balance block with analytic Laplacian
+    # cancellation — dcopf.make_dc_linops.schur_factor), riding the
+    # Pallas panel kernels; XLA's loop-lowered large-m Cholesky (the
+    # measured 97% LP tail at case300s, latency-bound and independent
+    # of lane count) disappears from the hot path. False = dense
+    # factorization (A/B / fallback).
+    large_m_schur: bool = True
     # Fused-kernel whole-block early exit: stop iterating a 128-lane
     # block once every lane is frozen (mu < mu_tol or non-finite) —
     # exactly equivalent to the fixed-count loop, saves the tail
