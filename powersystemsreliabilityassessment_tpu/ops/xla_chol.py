@@ -126,10 +126,53 @@ def factor(M: jax.Array, bs: int = BS):
 
     Returns (Linv [B, mp, mp], m) — the explicit inverse Cholesky
     factor of the padded matrix.
+
+    Fused factorization + inversion (round 4): each bs-wide diagonal
+    block L_kk is inverted ONCE (the only triangular solve left), and
+    that inverse serves both the panel computation
+    (P_k = A[tr, k] L_kk^-T — a matmul instead of a loop-lowered
+    bs-step triangular solve with up to m-bs rhs) and the explicit
+    block-inverse fill. This cuts the sequential loop-lowered ops per
+    factor from 3 to 2 per panel (chol + one bs-rhs solve), which is
+    what the latency-bound rescue sub-solve pays 16x per LP
+    (results/r4_screened_bisect.json: the rescue is ~0.24 s of the
+    0.51 s case300s step). Numerics: the panel-by-inverse product adds
+    the same ~cond(L_kk) rounding class as the explicit inverse the
+    path already uses; the callers' iterative refinement + best-iterate
+    + quality-guard ladder covers it (tests/test_xla_chol.py pins
+    refined accuracy, the case300 stress suite pins end-to-end DNS).
     """
-    m = M.shape[1]
-    L = blocked_cholesky(M, bs)
-    return blocked_inv_lower(L, bs), m
+    A, m = _pad_spd(M, bs)
+    mp = A.shape[1]
+    nblk = mp // bs
+    B = A.shape[0]
+    eye = jnp.eye(bs, dtype=A.dtype)
+    L = jnp.zeros_like(A)
+    inv_diag = []
+    for k in range(nblk):
+        lo, hi = k * bs, (k + 1) * bs
+        Lkk = jnp.linalg.cholesky(A[:, lo:hi, lo:hi])
+        inv_diag.append(jax.lax.linalg.triangular_solve(
+            Lkk, jnp.broadcast_to(eye, (B, bs, bs)), left_side=True,
+            lower=True))
+        L = L.at[:, lo:hi, lo:hi].set(Lkk)
+        if hi < mp:
+            # P_k = A[tr, k] L_kk^-T — one MXU matmul.
+            Pk = jnp.einsum("bik,bjk->bij", A[:, hi:, lo:hi], inv_diag[k])
+            L = L.at[:, hi:, lo:hi].set(Pk)
+            A = A.at[:, hi:, hi:].add(
+                -jnp.einsum("bik,bjk->bij", Pk, Pk))
+    # Explicit L^-1 by block forward substitution, reusing inv_diag
+    # (see blocked_inv_lower; all matmuls from here).
+    Linv = jnp.zeros_like(L)
+    Linv = Linv.at[:, :bs, :bs].set(inv_diag[0])
+    for i in range(1, nblk):
+        lo, hi = i * bs, (i + 1) * bs
+        S = jnp.einsum("bik,bkj->bij", L[:, lo:hi, :lo], Linv[:, :lo, :lo])
+        Linv = Linv.at[:, lo:hi, :lo].set(
+            -jnp.einsum("bik,bkj->bij", inv_diag[i], S))
+        Linv = Linv.at[:, lo:hi, lo:hi].set(inv_diag[i])
+    return Linv, m
 
 
 def inv_spd_equilibrated(M: jax.Array, delta: float = 1e-6) -> jax.Array:

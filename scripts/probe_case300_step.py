@@ -45,11 +45,18 @@ from powersystemsreliabilityassessment_tpu.utils.config import (
     CompatFlags, IPMConfig)
 
 
+# Session-unique key offset: the pooled relay caches results for
+# repeated (executable, inputs) pairs ACROSS processes/sessions, so a
+# rerun of this probe with fixed keys returns 0.0 s readings for any
+# stage whose program bytes didn't change (observed: lp_r0e0 "min 0.0").
+_KEY_SALT = int(time.time()) % 1_000_000_007
+
+
 def timed(fn, key0: int, reps: int = 4):
     """min/median wall seconds over reps, fresh key per rep."""
     walls = []
     for r in range(reps):
-        key = jax.random.key(key0 + r)
+        key = jax.random.key(_KEY_SALT + key0 + r)
         t0 = time.perf_counter()
         jax.block_until_ready(fn(key))
         walls.append(time.perf_counter() - t0)
@@ -76,7 +83,8 @@ def main() -> None:
     out = {"case": case.name, "batch": B, "m": sys_.n_bus + sys_.n_branch,
            "n_vars": n, "max_lp": args.max_lp,
            "repair_buffer": rb, "woodbury_k": wk,
-           "backend": jax.default_backend(), "stages": {}}
+           "backend": jax.default_backend(), "key_salt": _KEY_SALT,
+           "stages": {}}
 
     def draw(key):
         return sample_states(key, sys_.unavail, sys_.always_up_nsq, B)

@@ -31,7 +31,7 @@ import powersystemsreliabilityassessment_tpu as psra  # noqa: F401
 
 def run_one(case, samples: int, seed: int, batch: int, is_boost: float,
             scope: str, cv: bool, beta_limit: float = 0.0,
-            nodal_mode: str = "proportional") -> dict:
+            nodal_mode: str = "proportional", is_ce: bool = False) -> dict:
     """``nodal_mode="proportional"`` is the right regime at m = 792:
     only certificate MISSES (~0.55% of lanes, results/woodbury4.json)
     enter the LP buffer, so it stays at 128 lanes. "lp" mode would
@@ -50,7 +50,7 @@ def run_one(case, samples: int, seed: int, batch: int, is_boost: float,
         MCSConfig(batch_size=batch, max_samples=samples,
                   beta_limit=beta_limit, seed=seed,
                   is_boost=is_boost, is_boost_scope=scope,
-                  nodal_mode=nodal_mode),
+                  nodal_mode=nodal_mode, is_ce=is_ce),
         control_variate=cv, log_every=50)
     wall = time.perf_counter() - t0
     # Warm throughput: drop the first convergence-history point's worth
@@ -67,7 +67,7 @@ def run_one(case, samples: int, seed: int, batch: int, is_boost: float,
             "wall_s_incl_compile": round(wall, 1),
             "samples_per_s_incl_compile": round(res.samples / wall, 1),
             "is_boost": is_boost, "scope": scope, "cv": cv,
-            "batch": batch,
+            "is_ce": is_ce, "batch": batch,
             "nonfinite": bool(not np.isfinite(res.edns_mw))}
 
 
@@ -85,6 +85,9 @@ def main() -> None:
     ap.add_argument("--is-boost-scope", default="gens",
                     choices=["all", "gens", "branches"])
     ap.add_argument("--control-variate", action="store_true")
+    ap.add_argument("--is-ce", action="store_true",
+                    help="cross-entropy network-aware importance "
+                         "sampling (calibrate_ce_proposal pilot)")
     ap.add_argument("--pilot", action="store_true",
                     help="16k-sample config sweep (plain / cv / boost / "
                          "cv+boost) instead of the converged artifact")
@@ -127,13 +130,14 @@ def main() -> None:
         out = dict(base)
         out.update(run_one(case, args.samples, args.seed, args.batch,
                            args.is_boost, args.is_boost_scope,
-                           args.control_variate, beta_limit=args.beta))
+                           args.control_variate, beta_limit=args.beta,
+                           is_ce=args.is_ce))
         reps = []
         for s in args.replicate_seeds:
             reps.append(run_one(case, args.samples, s, args.batch,
                                 args.is_boost, args.is_boost_scope,
                                 args.control_variate,
-                                beta_limit=args.beta))
+                                beta_limit=args.beta, is_ce=args.is_ce))
         if reps:
             out["replicates"] = reps
         path = args.out
