@@ -52,9 +52,16 @@ def oracle_dns(down):
 
 
 idx = list(np.nonzero(dns_tpu > 0)[0])
+# Guard-tripped lanes ALWAYS enter the oracle set: a flagged lane is
+# degraded to its certificate bound, so it can return 0 while the true
+# DNS is large — random zero-lane sampling missed exactly such a lane
+# (94.0 MW true shed behind a 0.0269 "max err" headline).
+if "q" in d and "certified" in d:
+    idx += list(np.nonzero((d["q"] > 5e-3) & ~d["certified"])[0])
 rng = np.random.default_rng(1)
 zeros = np.nonzero(dns_tpu == 0)[0]
 idx += list(rng.choice(zeros, min(n_zero, len(zeros)), replace=False))
+idx = list(dict.fromkeys(int(i) for i in idx))
 worst = 0.0
 for i in idx:
     ref = oracle_dns(states[i].astype(np.float64))
