@@ -138,33 +138,47 @@ def calibrate_ce_proposal(sys: System, compat: CompatFlags,
     q[ng:] = np.minimum(boost0 * np.maximum(U[ng:], 1e-9), 0.5)
     q = np.where(always, 0.0, q)
 
-    load = jnp.broadcast_to(sys.load_pd[None, :], (batch, sys.n_load))
+    # Chunked pilot dispatches: the pilot batch is a STATISTICAL size,
+    # not a device-buffer size — a single 32768-lane dispatch with a
+    # batch//4 LP buffer wants [8192-lane, m=792] IPM temporaries
+    # (measured 37.3 GB vs 15.75 GB HBM). Each chunk caps the LP buffer
+    # at 1024; an overflow only degrades the overflowed PILOT lanes to
+    # their certified bounds (slightly blunting the learned tilt, never
+    # biasing the study — final-estimator weights are exact for any q).
+    chunk = min(batch, 8192)
+    n_chunks = (batch + chunk - 1) // chunk
+    load = jnp.broadcast_to(sys.load_pd[None, :], (chunk, sys.n_load))
     hint_j = None if shed_hint is None else jnp.asarray(shed_hint,
                                                         jnp.float32)
-    max_lp = max(batch // 4, 128)
+    max_lp = min(chunk, 1024)
     wk = default_woodbury_k(sys, q_vec=q)
 
     @jax.jit
     def pilot(key, qv):
         down, w = sample_states_importance(
-            key, sys.unavail, sys.always_up_nsq, batch, 0.0,
+            key, sys.unavail, sys.always_up_nsq, chunk, 0.0,
             q_override=qv)
         res, n_over = dcopf.evaluate_states_screened(
             sys, down, load, max_lp, compat, ipm, "proportional",
             repair_buffer=None, woodbury_k=wk, shed_hint=hint_j,
-            pf_buffer=dcopf.default_pf_buffer(sys, batch))
+            pf_buffer=dcopf.default_pf_buffer(sys, chunk))
         f = res.dns_mw
         wf = w * f
         x = down.astype(f.dtype)
         return (wf @ x, jnp.sum(wf), jnp.sum(wf * wf),
                 jnp.sum((f > 0)), n_over)
 
-    diag = {"rounds": [], "batch": batch, "boost0": boost0}
+    diag = {"rounds": [], "batch": batch, "boost0": boost0,
+            "chunk": chunk}
     for r in range(rounds):
-        key = jax.random.fold_in(jax.random.key(seed), r)
-        swfx, swf, swf2, n_events, n_over = (
-            np.asarray(v, np.float64) for v in
-            pilot(key, jnp.asarray(q, jnp.float32)))
+        qv = jnp.asarray(q, jnp.float32)
+        acc = [np.zeros(sys.n_comp), 0.0, 0.0, 0.0, 0.0]
+        for j in range(n_chunks):
+            key = jax.random.fold_in(
+                jax.random.fold_in(jax.random.key(seed), r), j)
+            for i, v in enumerate(pilot(key, qv)):
+                acc[i] = acc[i] + np.asarray(v, np.float64)
+        swfx, swf, swf2, n_events, n_over = acc
         # Relative variance of the wf estimator under the current
         # proposal (the quantity CE descends).
         rvar = float(batch * swf2 / max(swf * swf, 1e-30) - 1.0)
