@@ -271,6 +271,13 @@ def polish_box_lp(state, c, b, l, u, cfg: IPMConfig, mv_fn, mtv_fn,
     r = c - mtv_fn(y)
     gap_weak = (bdot(c, x) - bdot(b, y)
                 - jnp.sum(jnp.minimum(r * l, r * u), axis=-1))
+    # The weak-duality bound above is rigorous only for primal-FEASIBLE
+    # x; for x with residual rp the objective can sit below g(y) by up
+    # to |y|'|rp| (c'x = y'Ax + r'x = y'b - y'rp + r'x). Add that
+    # cross-term so the certificate never under-reports a lane whose
+    # rp sits inside the acceptance band but whose duals are large
+    # (advisor r4 finding; keeps gap <= old mu surrogate when rp ~ 0).
+    gap_weak = gap_weak + jnp.sum(jnp.abs(y) * jnp.abs(rp), axis=-1)
     gap = jnp.minimum(mu, _pos(gap_weak) / (2 * n))
     return LPBatchSolution(
         x=x,
@@ -534,9 +541,12 @@ def solve_box_lp_ops(c, b, l, u, ops: LinOps,
         # dense Cholesky for the hard-lane ladder. restarts=0 and
         # escalate_passes=0: the explicit cold -> warm -> restore chain
         # below replaces both (each stage gated, merges monotone).
-        sub_cfg = dataclasses.replace(cfg, restart_compact=0,
-                                      large_m_schur=False, restarts=0,
-                                      escalate_passes=0)
+        sub_cfg = dataclasses.replace(
+            cfg, restart_compact=0, large_m_schur=False, restarts=0,
+            escalate_passes=0,
+            iterations=(cfg.rescue_iterations
+                        if cfg.rescue_iterations is not None
+                        else cfg.iterations))
 
         def run_rescue(sol_in):
             # Rescue stage ladder (round 4). The m=792 f32 pass-1 has

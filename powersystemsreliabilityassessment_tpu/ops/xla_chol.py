@@ -10,17 +10,14 @@ m-step sequential loop; the IPM needs ~12 of them per iteration.
 
 The fix is to spend the SAME O(m^3) flops in MXU-shaped ops:
 
-  * `blocked_cholesky`: right-looking panel factorization with 128-wide
-    panels — the O(m^3) bulk (trailing updates) becomes [B, r, 128] @
-    [B, 128, r] matmuls; only the 128-wide diagonal-block factor pays
-    XLA's loop lowering (m/128 small chols instead of one big one).
-  * `blocked_inv_lower`: explicit L^-1 by block forward substitution —
-    all matmuls after the m/128 diagonal-block triangular inversions
-    (each against a 128-wide identity, so XLA's solve runs once per
-    panel with 128 rhs instead of once per IPM solve with 1 rhs).
-  * `apply_inv` / `apply_inv_t`: every subsequent cho_solve is then two
-    batched matvecs (bandwidth-bound: one read of L^-1 per apply), with
-    iterative refinement in the caller unchanged.
+  * `factor`: fused right-looking panel factorization + explicit
+    blocked L^-1 with 128-wide panels — the O(m^3) bulk (trailing
+    updates and the forward-substitution fill) becomes [B, r, 128] @
+    [B, 128, r] matmuls; only the per-panel diagonal-block chol and one
+    128-rhs identity solve pay XLA's loop lowering.
+  * `solve`: every subsequent cho_solve is then two batched matvecs
+    (bandwidth-bound: one read of L^-1 per apply), with iterative
+    refinement in the caller unchanged.
 
 Numerics: explicit triangular inversion amplifies error by ~cond(L)
 relative to substitution, but this path only ever sees EQUILIBRATED
@@ -58,67 +55,6 @@ def _pad_spd(M: jax.Array, bs: int = BS):
     eye_tail = jnp.zeros((mp, mp), M.dtype).at[
         np.arange(m, mp), np.arange(m, mp)].set(1.0)
     return M + eye_tail[None], m
-
-
-def blocked_cholesky(M: jax.Array, bs: int = BS) -> jax.Array:
-    """Right-looking blocked Cholesky of a batch of SPD matrices.
-
-    [B, m, m] -> lower-triangular [B, mp, mp] (mp = m padded to bs;
-    the pad block is identity). The Python panel loop is static
-    (mp/bs iterations), every slice is static, and the trailing
-    update — the O(m^3) term — is a single batched matmul per panel.
-    """
-    A, m = _pad_spd(M, bs)
-    mp = A.shape[1]
-    nblk = mp // bs
-    L = jnp.zeros_like(A)
-    for k in range(nblk):
-        lo, hi = k * bs, (k + 1) * bs
-        Dk = A[:, lo:hi, lo:hi]
-        Lkk = jnp.linalg.cholesky(Dk)
-        L = L.at[:, lo:hi, lo:hi].set(Lkk)
-        if hi < mp:
-            # Panel: P = A[tr, k] L_kk^-T  (right-side triangular solve,
-            # bs-wide — the only loop-lowered op besides the diag chol).
-            Pk = jax.lax.linalg.triangular_solve(
-                Lkk, A[:, hi:, lo:hi], left_side=False, lower=True,
-                transpose_a=True)
-            L = L.at[:, hi:, lo:hi].set(Pk)
-            # Trailing update: one MXU matmul.
-            A = A.at[:, hi:, hi:].add(
-                -jnp.einsum("bik,bjk->bij", Pk, Pk))
-    return L
-
-
-def blocked_inv_lower(L: jax.Array, bs: int = BS) -> jax.Array:
-    """Explicit inverse of a batch of lower-triangular matrices.
-
-    Block forward substitution: invert each bs-wide diagonal block
-    against I_bs (one XLA triangular solve with bs rhs per panel),
-    then fill the strictly-lower blocks with matmuls:
-        Linv[i, j] = -Linv[i, i] @ sum_{j<=k<i} L[i, k] Linv[k, j].
-    Processed row-block by row-block so the inner accumulation is one
-    [B, bs, i*bs] @ [B, i*bs, i*bs] matmul per row block.
-    """
-    mp = L.shape[1]
-    nblk = mp // bs
-    eye = jnp.eye(bs, dtype=L.dtype)
-    inv_diag = []
-    for k in range(nblk):
-        lo, hi = k * bs, (k + 1) * bs
-        inv_diag.append(jax.lax.linalg.triangular_solve(
-            L[:, lo:hi, lo:hi], jnp.broadcast_to(
-                eye, (L.shape[0], bs, bs)), left_side=True, lower=True))
-    Linv = jnp.zeros_like(L)
-    Linv = Linv.at[:, :bs, :bs].set(inv_diag[0])
-    for i in range(1, nblk):
-        lo, hi = i * bs, (i + 1) * bs
-        # S = L[i, :i] @ Linv[:i, :i]   -> [B, bs, i*bs]
-        S = jnp.einsum("bik,bkj->bij", L[:, lo:hi, :lo], Linv[:, :lo, :lo])
-        Linv = Linv.at[:, lo:hi, :lo].set(
-            -jnp.einsum("bik,bkj->bij", inv_diag[i], S))
-        Linv = Linv.at[:, lo:hi, lo:hi].set(inv_diag[i])
-    return Linv
 
 
 def factor(M: jax.Array, bs: int = BS):
@@ -163,7 +99,8 @@ def factor(M: jax.Array, bs: int = BS):
             A = A.at[:, hi:, hi:].add(
                 -jnp.einsum("bik,bjk->bij", Pk, Pk))
     # Explicit L^-1 by block forward substitution, reusing inv_diag
-    # (see blocked_inv_lower; all matmuls from here).
+    # (Linv[i, j] = -Linv[i, i] @ sum_{j<=k<i} L[i, k] Linv[k, j];
+    # all matmuls from here, one per row block).
     Linv = jnp.zeros_like(L)
     Linv = Linv.at[:, :bs, :bs].set(inv_diag[0])
     for i in range(1, nblk):

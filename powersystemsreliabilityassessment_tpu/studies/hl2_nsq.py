@@ -168,8 +168,12 @@ def calibrate_ce_proposal(sys: System, compat: CompatFlags,
         return (wf @ x, jnp.sum(wf), jnp.sum(wf * wf),
                 jnp.sum((f > 0)), n_over)
 
-    diag = {"rounds": [], "batch": batch, "boost0": boost0,
-            "chunk": chunk}
+    # The pilot actually draws n_chunks * chunk samples (>= batch when
+    # batch is not a chunk multiple); the rvar diagnostic must use the
+    # real count or the CE descent metric is biased (advisor r4).
+    n_total = n_chunks * chunk
+    diag = {"rounds": [], "batch": batch, "n_pilot": n_total,
+            "boost0": boost0, "chunk": chunk}
     for r in range(rounds):
         qv = jnp.asarray(q, jnp.float32)
         acc = [np.zeros(sys.n_comp), 0.0, 0.0, 0.0, 0.0]
@@ -181,7 +185,7 @@ def calibrate_ce_proposal(sys: System, compat: CompatFlags,
         swfx, swf, swf2, n_events, n_over = acc
         # Relative variance of the wf estimator under the current
         # proposal (the quantity CE descends).
-        rvar = float(batch * swf2 / max(swf * swf, 1e-30) - 1.0)
+        rvar = float(n_total * swf2 / max(swf * swf, 1e-30) - 1.0)
         diag["rounds"].append({
             "round": r, "events": int(n_events),
             "overflow": int(n_over), "rel_var_wf": round(rvar, 3),
@@ -197,6 +201,55 @@ def calibrate_ce_proposal(sys: System, compat: CompatFlags,
         q = np.clip(q, U, 0.5)
         q = np.where(always, 0.0, q)
     return q.astype(np.float32), diag
+
+
+def sparsify_ce_proposal(q: np.ndarray, sys: System,
+                         top_k: int = 8, q_cap: float = 0.05,
+                         branches_only: bool = True) -> np.ndarray:
+    """Sparsify a CE-learned tilt to its top-k components, capped.
+
+    Why (round-5 measurement, results/ce_ab.json): the DENSE CE
+    proposal fails catastrophically on case300s — per-sample rel-var
+    85,674 vs plain MC's 4,357 (20x WORSE) — because network-driven
+    deficits are concentrated co-occurrence events and a product-form
+    tilt spread over ~480 branches degenerates the likelihood weights
+    (the pilot's own rel-var already rose between rounds), while the
+    broad rate inflation destroys the tier-1/1.5 certificate closure
+    (9,985 -> 1,505 samples/s, 14k LP overflows).
+
+    The fix keeps the tilt only where it provably pays: the top-k
+    components by learned-marginal-to-true-rate ratio q_hat/U (the CE
+    marginal q_hat_k = P_f(S_k down) IS the f-weighted down
+    probability, so the ratio ranks components by how over-represented
+    they are in deficit mass), capped at ``q_cap`` and floored at U
+    everywhere else. With q >= U everywhere and sum_k (q_k - U_k)
+    <= k * q_cap small, every likelihood weight is bounded:
+    w <= prod_k (1-U_k)/(1-q_k) <= exp(sum q_k) ~ 1 + k*q_cap — weight
+    degeneracy is impossible by construction, and the off-tilt state
+    distribution (hence certificate closure and throughput) is nearly
+    unchanged. This is the 'per-cutset deliverability tilt' resolved to
+    its measurable core: the learned marginals locate the critical
+    cutset branches; the cap keeps the proposal inside the
+    bounded-weight regime.
+
+    Unbiasedness is unaffected (exact likelihood ratios for any q).
+    """
+    ng = sys.n_gen
+    U = np.asarray(sys.unavail, np.float64)
+    always = np.asarray(sys.always_up_nsq)
+    ratio = np.asarray(q, np.float64) / np.maximum(U, 1e-9)
+    if branches_only:
+        ratio[:ng] = 0.0
+    ratio[always] = 0.0
+    keep = np.argsort(ratio)[::-1][:top_k]
+    out = U.copy()
+    # max(U, min(q_hat, cap)): capped up-tilt, never below the true
+    # rate (a clip with inverted bounds would sneak a down-tilt in).
+    out[keep] = np.maximum(U[keep],
+                           np.minimum(np.asarray(q, np.float64)[keep],
+                                      q_cap))
+    out[always] = 0.0
+    return out.astype(np.float32)
 
 
 def make_nsq_batch_step(sys: System, mesh: Mesh, batch_per_device: int,
@@ -519,6 +572,9 @@ def run_nsq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
             boost0=cfg.ce_boost0, smoothing=cfg.ce_smoothing,
             seed=cfg.seed + 90210, shed_hint=shed_hint,
             log_every=log_every)
+        if is_q is not None and cfg.ce_top_k is not None:
+            is_q = sparsify_ce_proposal(is_q, sys, top_k=cfg.ce_top_k,
+                                        q_cap=cfg.ce_q_cap)
         if log_every:
             if is_q is None:
                 print("CE calibration saw no deficit events; keeping "

@@ -86,6 +86,16 @@ class MCSConfig:
     ce_batch: int = 32768           # pilot batch per round
     ce_boost0: float = 4.0          # round-0 uniform branch boost
     ce_smoothing: float = 0.7       # q <- a*q_CE + (1-a)*q_prev
+    # Sparsify the learned tilt to its top-k components by q_hat/U
+    # ratio, capped at ce_q_cap, floored at U elsewhere
+    # (hl2_nsq.sparsify_ce_proposal). REQUIRED for network-driven
+    # regimes: the dense proposal's product-form weights degenerate
+    # (case300s A/B: rel-var 20x WORSE than plain MC + certificate
+    # closure destroyed, results/ce_ab.json), while the sparse capped
+    # tilt has provably bounded weights. None = dense (the measured
+    # failure mode; kept for A/B).
+    ce_top_k: int | None = 8
+    ce_q_cap: float = 0.05
     # Certificate multi-branch-outage coverage: post-outage flows are
     # exact (rank-k Woodbury) for outage sets of size <= woodbury_k,
     # deeper sets fall through to the LP. None = auto per system: 2
@@ -162,6 +172,14 @@ class IPMConfig:
     # for adversarial batches where > restart_compact lanes are hard.
     # 0 disables (round-2 behavior: full-buffer unconditional restart).
     restart_compact: int = 32
+    # Iteration budget for each rescue-ladder sub-solve (the compacted
+    # dense pass above). The rescue warm-starts from the POLISHED pass-1
+    # iterate, so it re-converges in fewer Mehrotra iterations than a
+    # cold pass; lanes a short stage fails to fix are caught by the
+    # next cond-gated stage (the ladder's monotone merge makes a short
+    # budget safe, unlike the round-3 half-length FULL-buffer restart
+    # that lost deep lanes with no backstop). None = ``iterations``.
+    rescue_iterations: int | None = None
     # Structured constraint operator (dcopf.make_dc_linops) for the
     # large-m (> _BLOCKED_MAX_M) XLA IPM path: assembles A diag(w) A'
     # from the DC-OPF block structure (~7x fewer gram FLOPs at case300

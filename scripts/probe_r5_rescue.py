@@ -1,0 +1,129 @@
+"""Round-5: cut the rescue-ladder tax on clean-ish batches.
+
+Round-4 bisect (results/r4_screened_bisect.json): the compacted dense
+rescue costs ~0.17 s of the 0.41 s case300s screened step even though
+guard_tripped is 0 — because every production batch has ~2-14 real-miss
+lanes above the 5e-3 trust score (results/case300_lpq.json), so the
+entry cond legitimately fires every batch and pays a full 16-iteration
+dense sub-solve on the worst-32 lanes at m=792.
+
+Levers probed here (same screened step as the r4 bisect — no pf tier,
+so numbers are comparable):
+  rescue_iterations  the sub-solve warm-starts from the POLISHED pass-1
+                     iterate; fewer Mehrotra iterations may suffice,
+                     and the ladder's later cond-gated stages catch
+                     lanes a short stage misses (monotone merge).
+  restart_compact    32 -> 16: halves the compacted sub-buffer; the
+                     measured real-miss count above 5e-3 is <= 14 per
+                     8192, and the full-buffer escalation passes remain
+                     the adversarial backstop.
+
+Accuracy signal per arm (cheap, pre-oracle): batch DNS sums on FIXED
+keys vs the prod arm — |delta| above the evaluator's ~0.1 MW noise
+floor disqualifies an arm before the full f64 oracle parity run
+(scripts/parity_case300.py) gates the winner.
+
+Usage: python scripts/probe_r5_rescue.py [--out results/r5_rescue.json]
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import powersystemsreliabilityassessment_tpu  # noqa: F401
+import jax
+import jax.numpy as jnp
+
+from powersystemsreliabilityassessment_tpu.core import cases
+from powersystemsreliabilityassessment_tpu.core.system import build_system
+from powersystemsreliabilityassessment_tpu.engines import dcopf
+from powersystemsreliabilityassessment_tpu.sampling.state import sample_states
+from powersystemsreliabilityassessment_tpu.utils.config import (
+    CompatFlags, IPMConfig)
+
+_KEY_SALT = int(time.time()) % 1_000_000_007
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8192)
+    ap.add_argument("--max-lp", type=int, default=128)
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--out", default="results/r5_rescue.json")
+    args = ap.parse_args()
+
+    case = cases.case300s()
+    sys_ = build_system(case)
+    B = args.batch
+    compat = CompatFlags()
+    hint = dcopf.calibrate_shed_hint(sys_)
+    hint_j = None if hint is None else jnp.asarray(hint, jnp.float32)
+    rb = dcopf.default_repair_buffer(B, hinted=hint is not None)
+    load = jnp.broadcast_to(sys_.load_pd[None, :], (B, sys_.n_load))
+
+    def make_screened(ipm):
+        @jax.jit
+        def f(key):
+            down = sample_states(key, sys_.unavail, sys_.always_up_nsq, B)
+            res, n_over = dcopf.evaluate_states_screened(
+                sys_, down, load, args.max_lp, compat, ipm,
+                "proportional", repair_buffer=rb, woodbury_k=4,
+                shed_hint=hint_j)
+            return jnp.sum(res.dns_mw), n_over
+        return f
+
+    arms = {
+        "prod": IPMConfig(),
+        "r10": IPMConfig(rescue_iterations=10),
+        "r8": IPMConfig(rescue_iterations=8),
+        "k16": IPMConfig(restart_compact=16),
+        "r8_k16": IPMConfig(rescue_iterations=8, restart_compact=16),
+    }
+    # Fixed keys shared across arms for the DNS cross-check (salted per
+    # session so the relay result cache cannot serve a stale value).
+    acc_keys = [jax.random.key(_KEY_SALT + 31 + i) for i in range(3)]
+
+    out = {"case": case.name, "batch": B, "max_lp": args.max_lp,
+           "key_salt": _KEY_SALT, "backend": jax.default_backend(),
+           "arms": {}}
+    prod_dns = None
+    for i, (name, ipm) in enumerate(arms.items()):
+        fn = make_screened(ipm)
+        t0 = time.perf_counter()
+        dns = [float(fn(k)[0]) for k in acc_keys]
+        jax.block_until_ready(dns)
+        comp = time.perf_counter() - t0
+        if prod_dns is None:
+            prod_dns = dns
+        walls = []
+        for r in range(args.reps):
+            key = jax.random.key(_KEY_SALT + 1000 * (i + 1) + r)
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(key))
+            walls.append(time.perf_counter() - t0)
+        out["arms"][name] = {
+            "min_s": round(min(walls), 4),
+            "med_s": round(sorted(walls)[len(walls) // 2], 4),
+            "compile_plus_acc_s": round(comp, 1),
+            "dns_sum_mw": [round(d, 3) for d in dns],
+            "dns_absdiff_vs_prod_mw": round(
+                max(abs(a - b) for a, b in zip(dns, prod_dns)), 4),
+        }
+        print(name, out["arms"][name], flush=True)
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

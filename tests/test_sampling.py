@@ -321,3 +321,42 @@ class TestDwellTimeDistributions:
         # P(L=1) check
         p1 = 1.0 - np.exp(-1.0 / mttr)
         assert np.mean(lengths == 1) == pytest.approx(p1, abs=0.01)
+
+
+def test_sparsify_ce_proposal_bounded_tilt():
+    # The sparse capped tilt (hl2_nsq.sparsify_ce_proposal): keeps only
+    # the top-k BRANCH components by q_hat/U ratio, caps them, floors
+    # everything else at U (never a down-tilt), zeroes pinned
+    # components — the bounded-likelihood-weight construction motivated
+    # by the dense-CE failure on case300s (results/ce_ab.json).
+    from powersystemsreliabilityassessment_tpu.core import cases
+    from powersystemsreliabilityassessment_tpu.core.system import build_system
+    from powersystemsreliabilityassessment_tpu.studies import hl2_nsq
+    from powersystemsreliabilityassessment_tpu.utils.config import CompatFlags
+
+    case = cases.rts24()
+    sysm = build_system(case, CompatFlags())
+    U = np.asarray(sysm.unavail, np.float64)
+    always = np.asarray(sysm.always_up_nsq)
+    ng = case.n_gen
+
+    rng = np.random.default_rng(0)
+    q_hat = U * (1.0 + rng.uniform(0.0, 0.5, U.shape))  # mild tilts
+    q_hat[always] = 0.0
+    # make three branches stand out by ratio
+    stars = ng + np.array([5, 11, 23])
+    q_hat[stars] = 0.3
+
+    q = hl2_nsq.sparsify_ce_proposal(q_hat, sysm, top_k=3, q_cap=0.05)
+    assert q.dtype == np.float32
+    # the three stars are tilted, capped at 0.05
+    assert np.allclose(q[stars], 0.05)
+    # everything else sits exactly at U (gens included: branches_only)
+    rest = np.ones(len(U), bool)
+    rest[stars] = False
+    assert np.allclose(q[rest & ~always], U[rest & ~always], atol=1e-7)
+    assert np.all(q[always] == 0.0)
+    # bounded-weight certificate: max possible likelihood weight is
+    # prod (1-U)/(1-q) over tilted comps <= ~1 + k*cap
+    wmax = np.prod((1 - U[stars]) / (1 - q[stars].astype(np.float64)))
+    assert wmax < 1.2

@@ -29,14 +29,21 @@ def _spd_batch(B, m, seed=0, cond=1e4):
 
 
 @pytest.mark.parametrize("m", [64, 128, 200, 384])
-def test_blocked_cholesky_matches_xla(m):
+def test_factor_matches_xla_cholesky(m):
+    # Parity of the PRODUCTION factor against numpy's f64 Cholesky:
+    # factor returns the explicit inverse factor, so recover
+    # L = Linv^-1 (exactly triangular) and compare. This tests the one
+    # implementation the IPM actually runs (advisor r4: a separate
+    # blocked_cholesky copy drifted from factor's fused numerics).
     M = _spd_batch(3, m, seed=m)
-    L = np.asarray(xla_chol.blocked_cholesky(jnp.asarray(M, jnp.float32)))
-    ref = np.linalg.cholesky(M)
-    # compare on the original (unpadded) block
-    np.testing.assert_allclose(L[:, :m, :m], ref, atol=5e-4, rtol=5e-4)
+    Linv, m_out = xla_chol.factor(jnp.asarray(M, jnp.float32))
+    assert m_out == m
+    Linv = np.asarray(Linv, np.float64)
     # strictly upper part must be exactly zero
-    assert np.all(np.triu(L, 1) == 0.0)
+    assert np.all(np.triu(Linv, 1) == 0.0)
+    L = np.linalg.inv(Linv)[:, :m, :m]
+    ref = np.linalg.cholesky(M)
+    np.testing.assert_allclose(L, ref, atol=5e-4, rtol=5e-4)
 
 
 @pytest.mark.parametrize("m", [96, 256, 392])
