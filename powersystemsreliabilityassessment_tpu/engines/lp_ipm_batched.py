@@ -604,7 +604,7 @@ def solve_box_lp_ops(c, b, l, u, ops: LinOps,
                 return f
 
             state = (best, best.x)
-            for inset in (0.02, None, 1e-3, 1e-3):
+            for inset in cfg.rescue_stages:
                 sc = (state[0].primal_residual
                       + 2 * n * state[0].duality_gap)
                 state = jax.lax.cond(

@@ -179,7 +179,19 @@ class IPMConfig:
     # next cond-gated stage (the ladder's monotone merge makes a short
     # budget safe, unlike the round-3 half-length FULL-buffer restart
     # that lost deep lanes with no backstop). None = ``iterations``.
+    # (Measured r5, results/r5_rescue.json: 16 -> 10 buys nothing on
+    # the min step and 16 -> 8 costs 0.57 MW batch DNS — keep None.)
     rescue_iterations: int | None = None
+    # Rescue-ladder stage insets, in trajectory order: a float is a
+    # warm sub-solve clipped that fraction of the box width inside
+    # (trajectory-carried), None is the cold side branch (feeds the
+    # monotone merge only). Every stage is lax.cond-gated on the
+    # best-so-far worst trust score, so stages that aren't needed at
+    # runtime cost one scalar reduction. See lp_ipm_batched.run_rescue
+    # for why the default order is warm-2% (step-length-jam escape)
+    # -> cold (garbage-basin side branch) -> two 1e-3 feasibility
+    # restorations.
+    rescue_stages: tuple = (0.02, None, 1e-3, 1e-3)
     # Structured constraint operator (dcopf.make_dc_linops) for the
     # large-m (> _BLOCKED_MAX_M) XLA IPM path: assembles A diag(w) A'
     # from the DC-OPF block structure (~7x fewer gram FLOPs at case300

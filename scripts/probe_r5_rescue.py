@@ -82,10 +82,12 @@ def main() -> None:
 
     arms = {
         "prod": IPMConfig(),
-        "r10": IPMConfig(rescue_iterations=10),
-        "r8": IPMConfig(rescue_iterations=8),
-        "k16": IPMConfig(restart_compact=16),
-        "r8_k16": IPMConfig(rescue_iterations=8, restart_compact=16),
+        # Stage-prefix bisect (round 2 of this probe): which ladder
+        # stages carry the accuracy, and what does the common case pay?
+        "first1": IPMConfig(rescue_stages=(0.02,)),
+        "first2": IPMConfig(rescue_stages=(0.02, None)),
+        "no_cold": IPMConfig(rescue_stages=(0.02, 1e-3, 1e-3)),
+        "restore_only": IPMConfig(rescue_stages=(1e-3, 1e-3)),
     }
     # Fixed keys shared across arms for the DNS cross-check (salted per
     # session so the relay result cache cannot serve a stale value).
