@@ -214,6 +214,25 @@ class SEQResult:
         return d
 
 
+def seq_lp_cap(m: int, hours: int, years_per_device: int) -> int:
+    """Per-year LP-buffer ceiling for the chronological study.
+
+    Small-m systems (Pallas/blocked factor range, m <= 336) may grow to
+    the full year — their factor temporaries are [lanes, nb <= 336]
+    class, nowhere near HBM. At case300 scale (m = 792, block-Schur +
+    dense-rescue temporaries) the measured HBM envelope on a 15.75 GB
+    chip admits ~4096/Y TOTAL lanes per year-block (2048 fits at Y=2;
+    2048 at Y=4 exceeded HBM by 71 MB, 2026-08-21), i.e. 4096/Y^2 per
+    year. run_seq_study clamps both the initial buffer and the
+    overflow growth here; hours past the cap degrade to certified
+    deficit bounds and are counted (never the reference's silent
+    zeros, seqMain.m:117-126)."""
+    if m <= 336:
+        return hours
+    return min(hours, max(128, 4096 // (years_per_device *
+                                        years_per_device)))
+
+
 def run_seq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
                   compat: CompatFlags = CompatFlags(),
                   ipm: IPMConfig = IPMConfig(),
@@ -323,6 +342,28 @@ def run_seq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
         maint_down = np.zeros((hours, case.n_comp), bool)
         maint_down[:, :case.n_gen] = wk_mask[week_of_hour]
 
+    # HBM-aware ceiling for the LP buffer (large-m only).
+    # Chronological outages cluster — one long critical-line repair put
+    # 890 uncertified hours in a single 2-year case300s block
+    # (results/case300_seq_results.json) — and the grow-and-redo loop
+    # would otherwise double max_lp past the memory envelope: at m=792
+    # the flat year-block step fits 2048 total LP lanes at
+    # years_per_device=2 but 2048 at Y=4 exceeded HBM by 71 MB
+    # (15.82 vs 15.75 GB, measured 2026-08-21) — total-lane budget
+    # ~4096/Y, i.e. 4096/Y^2 per year. Past the cap, overflow hours
+    # degrade to their CERTIFIED deficit bounds and stay counted in
+    # ``overflow_hours`` — an explicit lower-bound degradation, unlike
+    # the reference's silent zeros on its failed hours
+    # (seqMain.m:117-126). Small-m systems keep the full ``hours``
+    # ceiling (their factor temporaries are [lanes, nb<=336] class,
+    # nowhere near HBM).
+    lp_cap = seq_lp_cap(sys.n_bus + sys.n_branch, hours, years_per_device)
+    if max_lp > lp_cap:
+        print(f"max_lp {max_lp}/yr exceeds the large-m HBM cap; "
+              f"clamping to {lp_cap}/yr (years_per_device="
+              f"{years_per_device})")
+        max_lp = lp_cap
+
     step = make_seq_batch_step(sys, mesh, years_per_device, compat, ipm,
                                hours, n_draws, max_lp, factors, maint_down,
                                nodal_mode=cfg.nodal_mode,
@@ -345,12 +386,14 @@ def run_seq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
 
     years_per_batch = years_per_device * mesh.devices.size
 
+    cap_warned = False
+
     def consume(out, next_idx) -> bool:
-        nonlocal max_lp, step, overflow, infeasible
+        nonlocal max_lp, step, overflow, infeasible, cap_warned
         (ens, plc, nlc, dlc, edns, nodal, comp_fail, loss_h, n_over,
          n_infeas) = out[:10]
-        if int(n_over) > 0 and max_lp < hours:
-            max_lp = min(2 * max_lp, hours)
+        if int(n_over) > 0 and max_lp < lp_cap:
+            max_lp = min(2 * max_lp, lp_cap)
             print(f"LP buffer overflow ({int(n_over)} h); growing max_lp "
                   f"to {max_lp} and redoing batch")
             step = make_seq_batch_step(
@@ -358,6 +401,12 @@ def run_seq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
                 max_lp, factors, maint_down, nodal_mode=cfg.nodal_mode,
                 stationary=stationary, cv_arrays=cv_arrays)
             return True
+        if int(n_over) > 0 and not cap_warned:
+            cap_warned = True
+            print(f"LP buffer at its HBM cap ({max_lp}/yr x "
+                  f"{years_per_device}); {int(n_over)} overflow hours "
+                  "degrade to certified deficit bounds (counted in "
+                  "overflow_hours)")
         if control_variate:
             # Adjusted per-year values Y_i = ENS_i - C_i + mu_C (f64 on
             # host). E[C_i] = mu_C exactly under stationary sampling, so
