@@ -34,5 +34,43 @@ _jax.config.update("jax_default_matmul_precision", "highest")
 
 from powersystemsreliabilityassessment_tpu.utils.config import (  # noqa: F401
     CompatFlags,
+    IPMConfig,
     MCSConfig,
 )
+
+# Lazy top-level API (PEP 562): the study/engine entry points without
+# importing the heavy modules (and triggering backend warm-up paths) at
+# package-import time. ``import powersystemsreliabilityassessment_tpu
+# as psra; psra.run_nsq_study(psra.cases.rts24())`` just works.
+_LAZY = {
+    "cases": "powersystemsreliabilityassessment_tpu.core.cases",
+    "build_system":
+        "powersystemsreliabilityassessment_tpu.core.system",
+    "load_matpower_case":
+        "powersystemsreliabilityassessment_tpu.core.matpower_io",
+    "resolve_case":
+        "powersystemsreliabilityassessment_tpu.core.matpower_io",
+    "evaluate_states":
+        "powersystemsreliabilityassessment_tpu.engines.dcopf",
+    "evaluate_states_screened":
+        "powersystemsreliabilityassessment_tpu.engines.dcopf",
+    "run_nsq_study":
+        "powersystemsreliabilityassessment_tpu.studies.hl2_nsq",
+    "run_seq_study":
+        "powersystemsreliabilityassessment_tpu.studies.hl2_seq",
+}
+
+
+def __getattr__(name: str):
+    if name in _LAZY:
+        import importlib
+        mod = importlib.import_module(_LAZY[name])
+        obj = mod if name == "cases" else getattr(mod, name)
+        globals()[name] = obj
+        return obj
+    raise AttributeError(
+        f"module {__name__!r} has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_LAZY))

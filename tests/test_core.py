@@ -117,3 +117,20 @@ class TestLoadProfile:
         c2 = cases.replicate_case(cases.rts24(), 2)
         assert c2.n_bus == 48
         assert c2.n_branch == 2 * 38 + 2
+
+
+def test_package_lazy_top_level_api():
+    # PEP 562 lazy exports: the main entry points resolve without eager
+    # heavy imports at package-import time.
+    import powersystemsreliabilityassessment_tpu as psra
+    assert callable(psra.build_system)
+    assert callable(psra.run_nsq_study)
+    assert callable(psra.run_seq_study)
+    assert callable(psra.evaluate_states)
+    assert callable(psra.load_matpower_case)
+    assert callable(psra.resolve_case)
+    assert hasattr(psra.cases, "rts24")
+    assert "run_nsq_study" in dir(psra)
+    import pytest as _pytest
+    with _pytest.raises(AttributeError):
+        psra.nonexistent_symbol
