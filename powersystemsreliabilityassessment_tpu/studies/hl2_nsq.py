@@ -36,7 +36,8 @@ from powersystemsreliabilityassessment_tpu.utils.config import (
 
 def default_max_lp(batch_per_device: int, nodal_mode: str = "lp",
                    is_boost: float = 0.0,
-                   is_boost_scope: str = "all") -> int:
+                   is_boost_scope: str = "all",
+                   pf_tier: bool = False) -> int:
     """Default LP-lane buffer per device batch.
 
     The IPM solves every buffer lane (padding included), so the buffer
@@ -67,7 +68,19 @@ def default_max_lp(batch_per_device: int, nodal_mode: str = "lp",
         frac = 64
     else:
         frac = 4
-    return max(batch_per_device // frac, 16)
+    lanes = max(batch_per_device // frac, 16)
+    if pf_tier and nodal_mode == "proportional" and is_boost <= 1.0:
+        # Island-PF tier active (large-m systems): tier-2 misses are
+        # ~0.1% of lanes (8.6/8192 at case300s, results/r4_miss.json),
+        # and the block-Schur LP pass scales ~linearly in buffer lanes
+        # while everything <= 128 pads to one lane tile anyway —
+        # measured: the full production step at 8192 is 0.94 s with a
+        # 256-lane buffer vs 0.42 s at 128 with identical estimates and
+        # zero overflow (results/r5_maxlp_pf.json). 128 covers batches
+        # through ~65k at the measured miss rate; grow-and-redo remains
+        # the safety net.
+        lanes = min(lanes, 128)
+    return lanes
 
 
 def default_woodbury_k(sys: System, is_boost: float = 0.0,
@@ -292,8 +305,10 @@ def make_nsq_batch_step(sys: System, mesh: Mesh, batch_per_device: int,
             # case300s with grow-and-redo as the safety net.
             max_lp = max(batch_per_device // 8, 16)
         else:
-            max_lp = default_max_lp(batch_per_device, nodal_mode, is_boost,
-                                    is_boost_scope)
+            max_lp = default_max_lp(
+                batch_per_device, nodal_mode, is_boost, is_boost_scope,
+                pf_tier=dcopf.default_pf_buffer(
+                    sys, batch_per_device) is not None)
     if woodbury_k is None:
         woodbury_k = default_woodbury_k(sys, is_boost, is_boost_scope,
                                         q_vec=is_q)
@@ -527,8 +542,9 @@ def run_nsq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
         # capacity-driven system legitimately drives >50% of draws into
         # deficit — that is what CE optimality means — and a guessed
         # buffer forces multi-recompile grow-and-redo cycles).
-        max_lp = default_max_lp(bpd, cfg.nodal_mode, cfg.is_boost,
-                                cfg.is_boost_scope)
+        max_lp = default_max_lp(
+            bpd, cfg.nodal_mode, cfg.is_boost, cfg.is_boost_scope,
+            pf_tier=dcopf.default_pf_buffer(sys, bpd) is not None)
 
     cv_arrays = None
     if control_variate:
@@ -586,8 +602,9 @@ def run_nsq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
                       f"{top.tolist()}")
     if ce_auto_lp:
         if is_q is None:
-            max_lp = default_max_lp(bpd, cfg.nodal_mode, cfg.is_boost,
-                                    cfg.is_boost_scope)
+            max_lp = default_max_lp(
+                bpd, cfg.nodal_mode, cfg.is_boost, cfg.is_boost_scope,
+                pf_tier=dcopf.default_pf_buffer(sys, bpd) is not None)
         else:
             # Sized from the pilot's measured deficit fraction under
             # the (near-final) proposal, x1.5 margin + 64; the
