@@ -360,3 +360,19 @@ def test_sparsify_ce_proposal_bounded_tilt():
     # prod (1-U)/(1-q) over tilted comps <= ~1 + k*cap
     wmax = np.prod((1 - U[stars]) / (1 - q[stars].astype(np.float64)))
     assert wmax < 1.2
+
+
+def test_default_max_lp_pf_tier_cap():
+    # With the island-PF tier active (large-m systems) the
+    # "proportional" plain-MC buffer caps at one 128-lane tile —
+    # measured 2.2x step win with identical estimates at case300s
+    # (results/r5_maxlp_pf.json). Other modes are unaffected.
+    from powersystemsreliabilityassessment_tpu.studies.hl2_nsq import (
+        default_max_lp)
+    assert default_max_lp(16384, "proportional", pf_tier=True) == 128
+    assert default_max_lp(16384, "proportional", pf_tier=False) == 256
+    assert default_max_lp(4096, "proportional", pf_tier=True) == 64
+    # boosted / lp-mode regimes keep their larger buffers
+    assert default_max_lp(16384, "lp", pf_tier=True) == 4096
+    assert default_max_lp(16384, "proportional", is_boost=2.0,
+                          pf_tier=True) == 8192
