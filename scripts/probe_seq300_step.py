@@ -42,6 +42,8 @@ _KEY_SALT = int(time.time()) % 1_000_000_007
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--arms", type=int, nargs="*", default=[256, 1024],
+                    help="per-year LP buffer sizes to time")
     ap.add_argument("--out", default="results/seq300_step.json")
     args = ap.parse_args()
 
@@ -58,7 +60,8 @@ def main() -> None:
     out = {"case": case.name, "years_per_device": Y, "hours": hours,
            "key_salt": _KEY_SALT, "backend": jax.default_backend(),
            "arms": {}}
-    for name, lp in (("lp256", 256), ("lp1024", 1024)):
+    for lp in args.arms:
+        name = f"lp{lp}"
         step = make_seq_batch_step(sys_, mesh, Y, compat, ipm, hours,
                                    n_draws, lp, factors, None,
                                    nodal_mode="proportional")
