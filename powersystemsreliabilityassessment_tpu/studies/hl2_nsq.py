@@ -69,6 +69,15 @@ def default_max_lp(batch_per_device: int, nodal_mode: str = "lp",
     else:
         frac = 4
     lanes = max(batch_per_device // frac, 16)
+    if pf_tier:
+        # Large-m HBM envelope: a [4096-lane, m~800] IPM buffer exceeds
+        # the 15.75 GB chip (measured twice: the CE pilot's batch//4
+        # buffer wanted 37.3 GB, and the branch-boost pilot's batch//2
+        # = 4096 OOM'd by 55 MB at compile); 2048 fits (the SEQ Y=2
+        # envelope, results/case300_seq_results.json _meta). Boosted
+        # regimes that genuinely need more lanes per sample should
+        # lower the batch instead.
+        lanes = min(lanes, 2048)
     if pf_tier and nodal_mode == "proportional" and is_boost <= 1.0:
         # Island-PF tier active (large-m systems): tier-2 misses are
         # ~0.1% of lanes (8.6/8192 at case300s, results/r4_miss.json),
@@ -674,9 +683,14 @@ def run_nsq_study(case: CaseData, cfg: MCSConfig = MCSConfig(),
         moments, n_over, n_infeas = out
         if int(n_over) > 0:
             # Adaptive LP buffer: grow and REDO (keys are deterministic,
-            # so the redo is exact, not a resample).
+            # so the redo is exact, not a resample). Large-m systems cap
+            # the growth at the HBM envelope (see default_max_lp); past
+            # it, overflow states keep their certified bounds and are
+            # counted — the documented degradation, not a crash.
+            lp_cap = (2048 if dcopf.default_pf_buffer(sys, bpd)
+                      is not None else bpd)
             grown = 2 * max_lp  # resolved to the step's actual buffer above
-            if grown <= bpd:
+            if grown <= min(bpd, lp_cap):
                 max_lp = grown
                 print(f"LP buffer overflow ({int(n_over)}); growing "
                       f"max_lp to {max_lp} and redoing batch")

@@ -177,16 +177,32 @@ def main() -> None:
     for _ in range(2):
         dy_schur = dy_schur + block_schur_solve(
             F, r - jnp.einsum("bij,bj->bi", M, dy_schur), nb)
-    res_d = float(jnp.max(jnp.abs(jnp.einsum("bij,bj->bi", M, dy_direct)
-                                  - r)))
-    res_s = float(jnp.max(jnp.abs(jnp.einsum("bij,bj->bi", M, dy_schur)
-                                  - r)))
-    results["resid_direct"] = res_d
-    results["resid_schur"] = res_s
-    results["solution_maxdiff"] = float(jnp.max(jnp.abs(
-        dy_direct - dy_schur)))
-    print(f"residual direct {res_d:.2e} schur {res_s:.2e} "
-          f"maxdiff {results['solution_maxdiff']:.2e}", flush=True)
+    # Per-lane residuals, reported as median-over-finite + bad-lane
+    # counts: the synthetic exp(U[-6,6]) barrier weights intentionally
+    # include lanes past what a bare f32 factor + 2 refinements can
+    # handle (that is WHY the production IPM carries equilibration,
+    # keep-best refinement, best-iterate and the rescue ladder —
+    # lp_ipm_batched); a max over lanes would just report those
+    # outliers (observed: NaN direct / 0.43 schur on this seed).
+    rd_l = jnp.max(jnp.abs(jnp.einsum("bij,bj->bi", M, dy_direct) - r),
+                   axis=1)
+    rs_l = jnp.max(jnp.abs(jnp.einsum("bij,bj->bi", M, dy_schur) - r),
+                   axis=1)
+    rd_np, rs_np = np.asarray(rd_l, np.float64), np.asarray(rs_l,
+                                                            np.float64)
+    results["resid_direct_median"] = float(np.nanmedian(rd_np))
+    results["resid_schur_median"] = float(np.nanmedian(rs_np))
+    results["lanes_direct_bad"] = int(np.sum(~np.isfinite(rd_np)
+                                             | (rd_np > 1e-2)))
+    results["lanes_schur_bad"] = int(np.sum(~np.isfinite(rs_np)
+                                            | (rs_np > 1e-2)))
+    diff = np.asarray(jnp.abs(dy_direct - dy_schur), np.float64)
+    results["solution_maxdiff_median_lane"] = float(
+        np.nanmedian(diff.max(axis=1)))
+    print(f"residual medians direct {results['resid_direct_median']:.2e} "
+          f"schur {results['resid_schur_median']:.2e}; bad lanes "
+          f"{results['lanes_direct_bad']}/{results['lanes_schur_bad']} "
+          f"of {B}", flush=True)
 
     results.update(m=m, n=n, B=B, nb=nb, nl=nl,
                    backend=jax.default_backend())

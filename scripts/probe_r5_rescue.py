@@ -23,7 +23,10 @@ keys vs the prod arm — |delta| above the evaluator's ~0.1 MW noise
 floor disqualifies an arm before the full f64 oracle parity run
 (scripts/parity_case300.py) gates the winner.
 
-Usage: python scripts/probe_r5_rescue.py [--out results/r5_rescue.json]
+Usage: python scripts/probe_r5_rescue.py [--out results/r5_rescue_stages.json]
+
+Committed artifacts: results/r5_rescue_knobs.json (iteration/k arms),
+results/r5_rescue_stages.json (stage-prefix arms).
 """
 from __future__ import annotations
 
@@ -57,7 +60,7 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=8192)
     ap.add_argument("--max-lp", type=int, default=128)
     ap.add_argument("--reps", type=int, default=5)
-    ap.add_argument("--out", default="results/r5_rescue.json")
+    ap.add_argument("--out", default="results/r5_rescue_stages.json")
     args = ap.parse_args()
 
     case = cases.case300s()

@@ -372,7 +372,12 @@ def test_default_max_lp_pf_tier_cap():
     assert default_max_lp(16384, "proportional", pf_tier=True) == 128
     assert default_max_lp(16384, "proportional", pf_tier=False) == 256
     assert default_max_lp(4096, "proportional", pf_tier=True) == 64
-    # boosted / lp-mode regimes keep their larger buffers
-    assert default_max_lp(16384, "lp", pf_tier=True) == 4096
+    # boosted / lp-mode regimes keep larger buffers off the pf tier,
+    # but the large-m HBM envelope caps everything at 2048 (a 4096-lane
+    # m~800 IPM buffer OOM'd the 15.75 GB chip at compile)
+    assert default_max_lp(16384, "lp", pf_tier=False) == 4096
+    assert default_max_lp(16384, "lp", pf_tier=True) == 2048
     assert default_max_lp(16384, "proportional", is_boost=2.0,
-                          pf_tier=True) == 8192
+                          pf_tier=False) == 8192
+    assert default_max_lp(16384, "proportional", is_boost=2.0,
+                          pf_tier=True) == 2048
