@@ -339,6 +339,12 @@ def case300s() -> CaseData:
         base_mva=base.base_mva,
         bus_pd=bus_pd,
         bus_qd=bus_qd,
+        # Area labels: tile buses 0..287 -> their RTS-24 area, hub bus
+        # 288+k -> area k (enables multi-area views and the area-gen
+        # mixture sampler's gen_area_masks).
+        bus_area=np.concatenate([
+            np.repeat(np.arange(areas, dtype=np.int64), nb),
+            np.arange(areas, dtype=np.int64)]),
         gen_bus=gen_bus,
         gen_pmax=tile_f(base.gen_pmax),
         gen_pmin=tile_f(base.gen_pmin),

@@ -129,3 +129,82 @@ def sample_states_importance(key: jax.Array, unavail: jax.Array,
     x = down.astype(unavail.dtype)
     logw = x @ log_fail + (1.0 - x) @ log_ok
     return down, jnp.exp(logw)
+
+
+@partial(jax.jit, static_argnames=("batch",))
+def sample_states_mixture(key: jax.Array, unavail: jax.Array,
+                          always_up: jax.Array, batch: int,
+                          group_masks: jax.Array,
+                          boost: float, alpha0: float = 0.5):
+    """Defensive-mixture importance sampling over component groups.
+
+    The round-5 event anatomy at case300s
+    (results/case300_events.json) shows every deficit event is an
+    AREA-CONCENTRATION anomaly: a normal total outage count whose
+    generator outages cluster inside one of the (symmetric) areas,
+    exceeding the ring import. A product tilt cannot represent "one
+    area collapses, I don't know which" — the measured dense/sparse CE
+    failures (NEXT.md #19) — but a MIXTURE can: with probability
+    ``alpha0`` a lane samples from the TRUE measure, else from one of
+    K per-group proposals q_k (group k's components boosted
+    q_i = min(boost * U_i, 0.5), everything else exact). Each lane
+    carries the exact mixture likelihood ratio
+
+        w = p(x) / (alpha0 p(x) + sum_k alpha_g q_k(x)),
+
+    so estimates are unbiased for ANY groups/boost, and the defensive
+    plain component bounds every weight by 1/alpha0 — the weight
+    degeneracy that killed the dense CE proposal is impossible by
+    construction. Group-k collapse events are oversampled ~boost^j
+    (j = in-group outages) while carrying O(alpha0^-1 boost^-j)
+    weights.
+
+    ``group_masks``: [K, n_comp] bool — typically one row per area's
+    generators (``hl2_nsq.gen_area_groups``). Rows may overlap.
+
+    Returns (down bool [batch, n_comp], weight f32 [batch]).
+
+    The reference has no rare-event machinery (plain MC,
+    mc_sampling.m:31-47); this targets the composition-anomaly regime
+    its flagship large systems live in.
+    """
+    n = unavail.shape[0]
+    K = group_masks.shape[0]
+    p = jnp.where(always_up, 0.0, unavail)
+    qb = jnp.minimum(boost * unavail, 0.5)
+    qb = jnp.maximum(qb, unavail)          # never under-sample failures
+    qb = jnp.where(always_up, 0.0, qb)
+
+    km, ku = jax.random.split(key)
+    alpha_g = (1.0 - alpha0) / K
+    # mixture index per lane: 0 = plain, 1..K = group proposals
+    probs = jnp.concatenate([jnp.asarray([alpha0], unavail.dtype),
+                             jnp.full((K,), alpha_g, unavail.dtype)])
+    m = jax.random.categorical(km, jnp.log(probs), shape=(batch,))
+    # lane's boosted-component mask via one-hot matmul (gather-free)
+    sel = jax.nn.one_hot(m, K + 1, dtype=unavail.dtype)[:, 1:]  # [B, K]
+    lane_boost = sel @ group_masks.astype(unavail.dtype)        # [B, n]
+    q_lane = jnp.where(lane_boost > 0.5, qb[None, :], p[None, :])
+    u = jax.random.uniform(ku, (batch, n))
+    down = (u < q_lane) & ~always_up[None, :]
+
+    # log q_k(x) - log p(x) restricted to group k: two [B,n]@[n,K]
+    # matmuls (never/zero-U components contribute exactly 0, same guard
+    # as sample_states_importance).
+    never = always_up | (unavail <= 0.0)
+    d_fail = jnp.where(never, 0.0,
+                       jnp.log(jnp.maximum(qb, 1e-30)
+                               / jnp.maximum(p, 1e-30)))
+    d_ok = jnp.where(never, 0.0,
+                     jnp.log(jnp.maximum(1.0 - qb, 1e-30)
+                             / jnp.maximum(1.0 - p, 1e-30)))
+    gm = group_masks.astype(unavail.dtype)                       # [K, n]
+    x = down.astype(unavail.dtype)
+    delta = x @ (gm * d_fail[None, :]).T \
+        + (1.0 - x) @ (gm * d_ok[None, :]).T                     # [B, K]
+    # log w = -logsumexp([log a0, log ag + delta_k]) (ll_p cancels)
+    stack = jnp.concatenate(
+        [jnp.full((batch, 1), jnp.log(alpha0), unavail.dtype),
+         jnp.log(alpha_g) + delta], axis=1)
+    logw = -jax.scipy.special.logsumexp(stack, axis=1)
+    return down, jnp.exp(logw)

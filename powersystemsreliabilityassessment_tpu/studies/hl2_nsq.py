@@ -117,6 +117,27 @@ def default_woodbury_k(sys: System, is_boost: float = 0.0,
     return 2 if p_ge3 < 1e-4 else 4
 
 
+def gen_area_masks(case: CaseData) -> np.ndarray | None:
+    """[K, n_comp] bool masks: one row per area's GENERATORS.
+
+    The grouping for :func:`sampling.state.sample_states_mixture` in
+    composition-anomaly regimes (case300s: every deficit event is a
+    normal-count outage draw whose generator outages concentrate in one
+    area past the ring import — results/case300_events.json). Requires
+    ``case.bus_area``; returns None when absent or single-area.
+    """
+    if case.bus_area is None:
+        return None
+    areas = np.unique(case.bus_area)
+    if areas.size < 2:
+        return None
+    gen_area = np.asarray(case.bus_area)[np.asarray(case.gen_bus)]
+    masks = np.zeros((areas.size, case.n_comp), bool)
+    for i, a in enumerate(areas):
+        masks[i, :case.n_gen] = gen_area == a
+    return masks[masks.any(axis=1)]
+
+
 def calibrate_ce_proposal(sys: System, compat: CompatFlags,
                           ipm: IPMConfig,
                           batch: int = 32768, rounds: int = 2,
@@ -284,7 +305,8 @@ def make_nsq_batch_step(sys: System, mesh: Mesh, batch_per_device: int,
                         woodbury_k: int | None = None,
                         fused_tier1: bool = False,
                         shed_hint: np.ndarray | None = None,
-                        is_q: np.ndarray | None = None):
+                        is_q: np.ndarray | None = None,
+                        mix: tuple | None = None):
     """Build the jitted, mesh-sharded one-batch step: key -> BatchMoments.
 
     ``cv_arrays = (gen_cap_mw [ng] f32, total_load_mw, mu_e, mu_l)``
@@ -306,6 +328,10 @@ def make_nsq_batch_step(sys: System, mesh: Mesh, batch_per_device: int,
         "offsets; combine is not supported"
     assert not (is_q is not None and (is_boost > 0 or fused_tier1)), \
         "is_q (CE proposal) replaces is_boost; fused_tier1 is plain-MC"
+    assert mix is None or (is_boost == 0 and is_q is None
+                           and not antithetic and not fused_tier1
+                           and enum_order == 0), \
+        "mix (defensive mixture IS) excludes every other sampler mode"
     if max_lp is None:
         if is_q is not None:
             # CE tilt concentrates on few components, so the deficit /
@@ -313,6 +339,11 @@ def make_nsq_batch_step(sys: System, mesh: Mesh, batch_per_device: int,
             # branch boost; batch//8 covers the measured need at
             # case300s with grow-and-redo as the safety net.
             max_lp = max(batch_per_device // 8, 16)
+        elif mix is not None:
+            # Mixture IS oversamples deficit events ~alpha_g*boost^j;
+            # measured need at case300s (boost 2-3) is a few percent of
+            # lanes. batch//16 + the HBM cap, grow-and-redo as the net.
+            max_lp = min(max(batch_per_device // 16, 128), 2048)
         else:
             max_lp = default_max_lp(
                 batch_per_device, nodal_mode, is_boost, is_boost_scope,
@@ -387,6 +418,13 @@ def make_nsq_batch_step(sys: System, mesh: Mesh, batch_per_device: int,
             down, weight = sample_states_importance(
                 k, sys.unavail, sys.always_up_nsq, batch_per_device,
                 0.0, q_override=jnp.asarray(is_q, jnp.float32))
+        elif mix is not None:
+            from powersystemsreliabilityassessment_tpu.sampling.state \
+                import sample_states_mixture
+            down, weight = sample_states_mixture(
+                k, sys.unavail, sys.always_up_nsq, batch_per_device,
+                jnp.asarray(np.asarray(mix[0], bool)), float(mix[1]),
+                float(mix[2]))
         elif is_boost > 0:
             down, weight = sample_states_importance(
                 k, sys.unavail, sys.always_up_nsq, batch_per_device,
@@ -415,7 +453,9 @@ def make_nsq_batch_step(sys: System, mesh: Mesh, batch_per_device: int,
             # rebuilds in "proportional" mode).
             repair_buffer=dcopf.default_repair_buffer(
                 batch_per_device,
-                max(is_boost, 2.0 if is_q is not None else 1.0),
+                max(is_boost,
+                    2.0 if (is_q is not None or mix is not None)
+                    else 1.0),
                 hinted=shed_hint is not None),
             woodbury_k=woodbury_k, pre=pre, shed_hint=hint,
             # Tier 1.5 (island-aware reduced-network PF certificate) on

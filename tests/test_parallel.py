@@ -372,3 +372,44 @@ def test_nsq_branches_boost_agrees_with_plain():
                                   is_boost_scope="branches"), log_every=0)
     assert isb.edns_mw == pytest.approx(plain.edns_mw, rel=0.5)
     assert np.isfinite(isb.beta) and isb.overflow_states == 0
+
+
+def test_nsq_mixture_step_agrees_with_plain():
+    # Defensive-mixture area-gen IS (sampling.state.sample_states_mixture
+    # wired via make_nsq_batch_step(mix=...)): unbiased by construction,
+    # so the mesh-sharded step's weighted EDNS must agree with plain MC
+    # within MC noise on RTS-96 (3 areas), and weights are bounded by
+    # 1/alpha0.
+    from powersystemsreliabilityassessment_tpu.core import cases
+    from powersystemsreliabilityassessment_tpu.core.system import (
+        build_system)
+    from powersystemsreliabilityassessment_tpu.parallel import (
+        mesh as meshlib)
+    from powersystemsreliabilityassessment_tpu.studies.hl2_nsq import (
+        gen_area_masks, make_nsq_batch_step)
+    from powersystemsreliabilityassessment_tpu.utils.config import (
+        CompatFlags, IPMConfig)
+
+    case = cases.rts96()
+    sysm = build_system(case, CompatFlags())
+    masks = gen_area_masks(case)
+    assert masks is not None and masks.shape[0] == 3
+    mesh = meshlib.scenario_mesh()
+    kw = dict(nodal_mode="proportional")
+    plain = make_nsq_batch_step(sysm, mesh, 512, CompatFlags(),
+                                IPMConfig(), **kw)
+    mix = make_nsq_batch_step(sysm, mesh, 512, CompatFlags(), IPMConfig(),
+                              mix=(masks, 2.0, 0.5), **kw)
+    outs = {}
+    for name, step in (("plain", plain), ("mix", mix)):
+        tot = n = 0.0
+        for i in range(3):
+            out = step(jax.random.fold_in(jax.random.key(5), i))
+            m, n_over = out[0], out[1]
+            assert int(n_over) == 0
+            tot += float(m.sum_dns)
+            n += float(m.n)
+        outs[name] = tot / n
+    assert np.isfinite(outs["mix"])
+    # loose agreement: 12k samples of a ~3 MW estimate
+    assert outs["mix"] == pytest.approx(outs["plain"], rel=0.6, abs=2.0)

@@ -381,3 +381,72 @@ def test_default_max_lp_pf_tier_cap():
                           pf_tier=False) == 8192
     assert default_max_lp(16384, "proportional", is_boost=2.0,
                           pf_tier=True) == 2048
+
+
+class TestMixtureIS:
+    def test_weights_equal_exact_mixture_ratio(self):
+        # w must equal p(x) / (a0 p(x) + sum_k ag q_k(x)) exactly,
+        # brute-forced per lane in f64.
+        u = jnp.asarray(twostate.unavailability(cases.rts24()), jnp.float32)
+        always = np.zeros(71, bool); always[14] = True
+        groups = np.zeros((3, 71), bool)
+        groups[0, :10] = True; groups[1, 10:22] = True
+        groups[2, 22:32] = True
+        boost, a0 = 2.5, 0.5
+        down, w = state.sample_states_mixture(
+            jax.random.key(6), u, jnp.asarray(always), 512,
+            jnp.asarray(groups), boost, a0)
+        down = np.asarray(down); w = np.asarray(w, np.float64)
+        un = np.asarray(u, np.float64); un[always] = 0.0
+        qb = np.maximum(np.minimum(boost * un, 0.5), un); qb[always] = 0.0
+
+        def loglik(x, q):
+            with np.errstate(divide="ignore"):
+                lq = np.where(x, np.log(np.maximum(q, 1e-300)),
+                              np.log(np.maximum(1 - q, 1e-300)))
+            return lq[~always].sum()
+
+        ag = (1 - a0) / 3
+        for i in range(0, 512, 41):
+            x = down[i]
+            lp = loglik(x, un)
+            dens = a0 * np.exp(lp)
+            for k in range(3):
+                qk = np.where(groups[k], qb, un)
+                dens += ag * np.exp(loglik(x, qk))
+            assert w[i] == pytest.approx(np.exp(lp) / dens, rel=2e-4)
+        assert not down[:, 14].any()
+        # defensive bound: no weight can exceed 1/alpha0
+        assert w.max() <= 1.0 / a0 + 1e-6
+
+    def test_unbiased_component_moments(self):
+        # E_q[w] = 1 and E_q[w x_i] = U_i under the mixture proposal.
+        u = jnp.asarray(twostate.unavailability(cases.rts24()), jnp.float32)
+        always = np.zeros(71, bool); always[14] = True
+        groups = np.zeros((4, 71), bool)
+        for k in range(4):
+            groups[k, 8 * k:8 * (k + 1)] = True
+        down, w = state.sample_states_mixture(
+            jax.random.key(9), u, jnp.asarray(always), 60000,
+            jnp.asarray(groups), 3.0, 0.5)
+        w = np.asarray(w, np.float64)
+        x = np.asarray(down, np.float64)
+        assert np.mean(w) == pytest.approx(1.0, abs=0.01)
+        est = (w[:, None] * x).mean(axis=0)
+        target = np.where(always, 0.0, np.asarray(u, np.float64))
+        np.testing.assert_allclose(est, target, atol=0.005)
+
+    def test_group_events_oversampled(self):
+        # The point of the mixture: in-group outage clusters appear far
+        # more often than under the plain measure, with weights < 1.
+        u = jnp.full((40,), 0.02, jnp.float32)
+        always = jnp.zeros(40, bool)
+        groups = np.zeros((2, 40), bool)
+        groups[0, :20] = True; groups[1, 20:] = True
+        down, w = state.sample_states_mixture(
+            jax.random.key(12), u, always, 20000, jnp.asarray(groups),
+            5.0, 0.5)
+        down = np.asarray(down); w = np.asarray(w, np.float64)
+        cluster = down[:, :20].sum(axis=1) >= 4   # P_plain ~ 1e-3
+        assert cluster.mean() > 5e-3               # oversampled
+        assert w[cluster].max() < 1.0              # down-weighted
