@@ -413,3 +413,31 @@ def test_nsq_mixture_step_agrees_with_plain():
     assert np.isfinite(outs["mix"])
     # loose agreement: 12k samples of a ~3 MW estimate
     assert outs["mix"] == pytest.approx(outs["plain"], rel=0.6, abs=2.0)
+
+
+def test_seq_transient_redo_and_promotion(capsys):
+    # The r5 chronological buffer policy: an overflowed batch redoes
+    # through a TRANSIENT big-buffer step; 3 consecutive overflow redos
+    # promote the size to the base step permanently. With an absurdly
+    # small base every batch overflows, so the promotion must fire and
+    # the result must still be exact (overflow_hours 0, grow-and-redo
+    # invariance vs a comfortably-buffered run).
+    from powersystemsreliabilityassessment_tpu.studies.hl2_seq import (
+        run_seq_study)
+    # 8-device mesh -> 8 years/batch; 40 years = 5 batches, enough for
+    # the 3-consecutive-redo promotion to fire. load_scale 1.3 makes
+    # most hours deficit hours ("lp" nodal mode routes them all to the
+    # LP), so a 4-lane base overflows every batch.
+    cfg = MCSConfig(max_years=40, cov_threshold=0.0, seed=6)
+    small = run_seq_study(cases.rts24(), cfg, years_per_device=1,
+                          max_lp=4, hours=336, log_every=0,
+                          load_scale=1.3)
+    logs = capsys.readouterr().out
+    assert "transient" in logs            # redo path exercised
+    assert "promoting" in logs            # promotion fired
+    assert small.overflow_hours == 0
+    big = run_seq_study(cases.rts24(), cfg, years_per_device=1,
+                        max_lp=336, hours=336, log_every=0,
+                        load_scale=1.3)
+    assert small.eens_mwh_yr == pytest.approx(big.eens_mwh_yr, rel=1e-5)
+    assert small.lole_hr_yr == pytest.approx(big.lole_hr_yr, rel=1e-6)
